@@ -1,0 +1,127 @@
+"""Wavefront path-tracing integrator.
+
+TPU-native counterpart of the recursive estimator in
+/root/reference/src/renderer.rs:145-204. The per-pixel recursion becomes a
+wavefront: all N rays advance through bounce depths together, and the
+depth-d recursion
+
+    L_d = emitted + direct + min(w_d * L_{d+1}, FIREFLY_CLAMP)   (per channel)
+
+with w_d = f * |wi.n| / pdf (renderer.rs:156-168) is evaluated as a forward
+sweep that records per-depth local radiance (emit + next-event estimation, or
+environment on miss) and segment weights, followed by a reverse fold applying
+the firefly clamp at every level — numerically identical to the reference's
+post-recursion clamp, which cannot be expressed as a running forward product.
+
+Terminated lanes (miss / invalid sample) simply carry zero weights: the
+reverse fold multiplies any junk deeper values by 0, so no compaction is
+needed for correctness (compaction is a later perf optimization).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .materials import bsdf, sample_f
+from .utils.vmath import dot
+
+__all__ = ["trace_paths", "FIREFLY_CLAMP"]
+
+# renderer.rs:15
+FIREFLY_CLAMP = 100.0
+# Guard: the reference divides by pdf with no check (renderer.rs:162); a pdf of
+# exactly 0 there produces inf/NaN that its f64::min coerces to the clamp. We
+# instead drop those measure-zero samples.
+_PDF_EPS = 1e-10
+
+
+def sample_lights(scene, mat, pos, n, wo, key, t_min, found) -> jnp.ndarray:
+    """Next-event estimation against every light (renderer.rs:177-204).
+
+    One shadow ray per (ray, light) per bounce. `found` masks rays that
+    actually hit a surface this depth.
+    """
+    from .lights import AmbientLightData
+
+    total = jnp.zeros_like(pos)
+    for i, light in enumerate(scene.lights):
+        if isinstance(light, AmbientLightData):
+            # Ambient shortcut: color * albedo, no shadow ray
+            # (renderer.rs:187-188)
+            total = total + light.color * mat.color
+            continue
+        k_i = jax.random.fold_in(key, i)
+        intensity, wi, dist = light.illuminate(k_i, pos)
+        shadow = scene.intersect(pos, wi, t_min)
+        visible = (~shadow.valid) | (shadow.t > dist)
+        f = bsdf(mat, n, wo, wi)
+        contrib = f * intensity * dot(wi, n)[..., None]
+        total = total + jnp.where(visible[..., None], contrib, 0.0)
+    return jnp.where(found[..., None], total, 0.0)
+
+
+def trace_paths(
+    scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    key: jax.Array,
+    max_bounces: int,
+    t_min: float,
+    firefly_clamp: float = FIREFLY_CLAMP,
+) -> jnp.ndarray:
+    """Monte Carlo radiance estimate for N camera rays; returns (N, 3).
+
+    Parity with trace_ray (renderer.rs:145-174): environment on miss, emitted
+    + NEE at each vertex, BSDF-importance-sampled continuation with the
+    one-sample-MIS mixture pdf, no Russian roulette, per-channel firefly clamp
+    on each indirect contribution.
+    """
+    scene = scene.to_device()
+    locals_per_depth = []
+    weights_per_depth = []
+
+    for depth in range(max_bounces + 1):
+        k_depth = jax.random.fold_in(key, depth)
+        k_lights, k_bsdf = jax.random.split(k_depth)
+
+        hit = scene.intersect(o, d, t_min)
+        found = hit.valid
+        env = scene.environment.get_color(d)
+
+        t_safe = jnp.where(found, hit.t, 0.0)
+        pos = o + t_safe[:, None] * d
+        wo = -d
+        mat = scene.materials.gather(hit.mat_id)
+
+        emitted = mat.emittance[:, None] * mat.color
+        direct = sample_lights(scene, mat, pos, hit.normal, wo, k_lights, t_min, found)
+        local = jnp.where(found[:, None], emitted + direct, env)
+        locals_per_depth.append(local)
+
+        if depth < max_bounces:
+            wi, pdf, valid = sample_f(k_bsdf, mat, hit.normal, wo)
+            # Detached sampling: the sampled direction and its pdf are
+            # treated as constants under differentiation, so parameter
+            # gradients flow through the BSDF *evaluation* only — the
+            # standard unbiased detached estimator for differentiable path
+            # tracing (no-op for the primal computation).
+            wi = jax.lax.stop_gradient(wi)
+            pdf = jax.lax.stop_gradient(pdf)
+            f = bsdf(mat, hit.normal, wo, wi)
+            ok = found & valid & (pdf > _PDF_EPS)
+            pdf_safe = jnp.where(ok, pdf, 1.0)
+            w = f * (jnp.abs(dot(wi, hit.normal)) / pdf_safe)[:, None]
+            w = jnp.where(ok[:, None], w, 0.0)
+            weights_per_depth.append(w)
+            o = pos
+            d = wi
+
+    # Reverse fold with the per-level clamp (renderer.rs:162-167)
+    radiance = locals_per_depth[-1]
+    for depth in range(max_bounces - 1, -1, -1):
+        indirect = jnp.minimum(weights_per_depth[depth] * radiance, firefly_clamp)
+        radiance = locals_per_depth[depth] + indirect
+    return radiance

@@ -1,0 +1,355 @@
+"""Batched ray-primitive intersection kernels.
+
+TPU-native counterpart of the `Shape::intersect` implementations in
+/root/reference/src/shape/*.rs. Instead of one ray against one shape behind a
+vtable, every function here intersects N rays against P primitives of one type
+in a single fused computation (shape (N, P) broadcasts on the VPU), and reduces
+to the closest hit per ray. The scene-level closest hit is the elementwise min
+across primitive types (mirroring the linear object scan in
+renderer.rs:206-221).
+
+Conventions preserved from the reference:
+- hit times are expressed in the *original* ray parameterization even for
+  transformed primitives (local rays use the unnormalized transformed
+  direction, shape.rs:64-71);
+- normals are transformed by the inverse-transpose and normalized
+  (shape.rs:130-137);
+- a miss is t = +inf.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.vmath import dot, normalize, safe_sqrt
+
+__all__ = [
+    "Hit",
+    "no_hit",
+    "merge_hits",
+    "intersect_spheres",
+    "intersect_planes",
+    "intersect_cubes",
+    "intersect_triangles",
+    "intersect_monomials",
+    "triangles_hit_t",
+]
+
+INF = jnp.inf
+_PAR_EPS = 1e-8  # parallel-ray guard, as in plane.rs:20 / mesh.rs:54
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Hit:
+    """Closest-hit record for a batch of rays."""
+
+    t: jnp.ndarray  # (N,) hit time, +inf if miss
+    normal: jnp.ndarray  # (N, 3) world-space unit normal (garbage if miss)
+    mat_id: jnp.ndarray  # (N,) material index (0 if miss)
+
+    @property
+    def valid(self) -> jnp.ndarray:
+        return jnp.isfinite(self.t)
+
+
+def no_hit(n: int, dtype=jnp.float32) -> Hit:
+    return Hit(
+        t=jnp.full((n,), INF, dtype),
+        normal=jnp.zeros((n, 3), dtype),
+        mat_id=jnp.zeros((n,), jnp.int32),
+    )
+
+
+def merge_hits(a: Hit, b: Hit) -> Hit:
+    """Keep the closer hit per ray (the running-min convention of
+    HitRecord.time, shape.rs:75-90)."""
+    take_b = b.t < a.t
+    return Hit(
+        t=jnp.where(take_b, b.t, a.t),
+        normal=jnp.where(take_b[..., None], b.normal, a.normal),
+        mat_id=jnp.where(take_b, b.mat_id, a.mat_id),
+    )
+
+
+def _local_rays(o, d, inv_tf):
+    """Transform N rays into each primitive's local frame.
+
+    inv_tf: (P, 3, 4) row-major affine inverse transforms. Returns local
+    origins and directions of shape (N, P, 3). Directions are NOT normalized,
+    preserving the hit-time parameterization (shape.rs:64-71).
+    """
+    A = inv_tf[:, :, :3]  # (P,3,3)
+    b = inv_tf[:, :, 3]  # (P,3)
+    o_l = jnp.einsum("pij,nj->npi", A, o) + b[None, :, :]
+    d_l = jnp.einsum("pij,nj->npi", A, d)
+    return o_l, d_l
+
+
+def _world_normal(nmat, n_local):
+    """nmat: (3,3) or (N,3,3) inverse-transpose linear; normalize after."""
+    return normalize(jnp.einsum("...ij,...j->...i", nmat, n_local))
+
+
+def _reduce_pairs(t_pairs, t_min):
+    """Select the closest valid pair hit per ray. t_pairs: (N, P)."""
+    t_pairs = jnp.where(t_pairs >= t_min, t_pairs, INF)
+    best = jnp.argmin(t_pairs, axis=1)
+    t_best = jnp.take_along_axis(t_pairs, best[:, None], axis=1)[:, 0]
+    return t_best, best
+
+
+# ---------------------------------------------------------------------------
+# Sphere (shape/sphere.rs:13-45): unit sphere in local space
+# ---------------------------------------------------------------------------
+
+
+def intersect_spheres(o, d, t_min, inv_tf, nmat, mat_ids) -> Hit:
+    o_l, d_l = _local_rays(o, d, inv_tf)  # (N,P,3)
+    a = dot(d_l, d_l)
+    b = dot(d_l, o_l)
+    c = dot(o_l, o_l) - 1.0
+    disc = b * b - a * c
+    ok = disc >= 0.0
+    sq = safe_sqrt(disc)
+    a_safe = jnp.where(jnp.abs(a) > 1e-20, a, 1e-20)
+    t_minus = (-b - sq) / a_safe
+    t_plus = (-b + sq) / a_safe
+    t = jnp.where(t_minus >= t_min, t_minus, t_plus)
+    t = jnp.where(ok & (t >= t_min), t, INF)
+
+    t_best, best = _reduce_pairs(t, t_min)
+    idx = jnp.arange(o.shape[0])
+    # Missed rays have t = inf; evaluate the normal at t=0 there so no
+    # NaN/inf enters residuals (the hit is masked out downstream, but NaNs
+    # would still poison reverse-mode gradients through the masks).
+    t_eval = jnp.where(jnp.isfinite(t_best), t_best, 0.0)
+    p_local = o_l[idx, best] + t_eval[:, None] * d_l[idx, best]
+    n_world = _world_normal(nmat[best], normalize(p_local))
+    return Hit(t=t_best, normal=n_world, mat_id=mat_ids[best])
+
+
+# ---------------------------------------------------------------------------
+# Plane (shape/plane.rs:17-32): x . normal = value, world space
+# ---------------------------------------------------------------------------
+
+
+def intersect_planes(o, d, t_min, normals, values, mat_ids) -> Hit:
+    cos = jnp.einsum("pj,nj->np", normals, d)  # (N,P)
+    cos_safe = jnp.where(jnp.abs(cos) > _PAR_EPS, cos, _PAR_EPS)
+    t = (values[None, :] - jnp.einsum("pj,nj->np", normals, o)) / cos_safe
+    ok = (jnp.abs(cos) >= _PAR_EPS) & (t >= t_min)
+    t = jnp.where(ok, t, INF)
+
+    t_best, best = _reduce_pairs(t, t_min)
+    idx = jnp.arange(o.shape[0])
+    # Normal flipped toward the ray (plane.rs:27)
+    n = normalize(normals[best])
+    n_world = -n * jnp.sign(cos[idx, best])[:, None]
+    return Hit(t=t_best, normal=n_world, mat_id=mat_ids[best])
+
+
+# ---------------------------------------------------------------------------
+# Cube (shape/cube.rs:20-72): unit cube slab method in local space
+# ---------------------------------------------------------------------------
+
+
+def intersect_cubes(o, d, t_min, inv_tf, nmat, mat_ids) -> Hit:
+    o_l, d_l = _local_rays(o, d, inv_tf)  # (N,P,3)
+    d_safe = jnp.where(
+        jnp.abs(d_l) > 1e-20, d_l, jnp.where(d_l < 0, -1e-20, 1e-20)
+    )
+    t1 = (-0.5 - o_l) / d_safe  # (N,P,3)
+    t2 = (0.5 - o_l) / d_safe
+    lo = jnp.minimum(t1, t2)
+    hi = jnp.maximum(t1, t2)
+    start = jnp.max(lo, axis=-1)
+    end = jnp.min(hi, axis=-1)
+    start_axis = jnp.argmax(lo, axis=-1)
+    end_axis = jnp.argmin(hi, axis=-1)
+
+    miss = (start > end) | (end < t_min)
+    use_end = start < t_min
+    t = jnp.where(use_end, end, start)
+    t = jnp.where(miss | (t < t_min), INF, t)
+
+    t_best, best = _reduce_pairs(t, t_min)
+    idx = jnp.arange(o.shape[0])
+    axis = jnp.where(use_end[idx, best], end_axis[idx, best], start_axis[idx, best])
+    d_axis = d_l[idx, best, :][jnp.arange(o.shape[0]), axis]
+    # Entry face normal points against the ray, exit face along it
+    sign = jnp.where(use_end[idx, best], jnp.sign(d_axis), -jnp.sign(d_axis))
+    n_local = jax.nn.one_hot(axis, 3, dtype=o.dtype) * sign[:, None]
+    n_world = _world_normal(nmat[best], n_local)
+    return Hit(t=t_best, normal=n_world, mat_id=mat_ids[best])
+
+
+# ---------------------------------------------------------------------------
+# Triangle (shape/mesh.rs:49-82): plane hit + barycentric inside test
+# ---------------------------------------------------------------------------
+
+
+def triangles_hit_t(o, d, t_min, v0, v1, v2):
+    """Hit times of N rays against T world-space triangles, shape (N, T).
+
+    Separated from `intersect_triangles` so BVH leaves and shadow rays can
+    reuse it. Uses the same plane + barycentric formulation as mesh.rs:49-82.
+    """
+    e1 = v1 - v0  # (T,3)
+    e2 = v2 - v0
+    pn = normalize(jnp.cross(e1, e2))  # (T,3)
+    cos = jnp.einsum("tj,nj->nt", pn, d)
+    cos_safe = jnp.where(jnp.abs(cos) > _PAR_EPS, cos, _PAR_EPS)
+    t = (
+        jnp.einsum("tj,tj->t", pn, v0)[None, :]
+        - jnp.einsum("tj,nj->nt", pn, o)
+    ) / cos_safe
+
+    # Barycentric coordinates (gamedev.stackexchange.com/a/23745 form)
+    p = o[:, None, :] + t[..., None] * d[:, None, :]  # (N,T,3)
+    d2 = p - v0[None, :, :]
+    d00 = dot(e1, e1)  # (T,)
+    d01 = dot(e1, e2)
+    d11 = dot(e2, e2)
+    d20 = jnp.einsum("ntj,tj->nt", d2, e1)
+    d21 = jnp.einsum("ntj,tj->nt", d2, e2)
+    denom = d00 * d11 - d01 * d01
+    denom_safe = jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
+    v = (d11 * d20 - d01 * d21) / denom_safe
+    w = (d00 * d21 - d01 * d20) / denom_safe
+    u = 1.0 - v - w
+
+    inside = (u >= 0.0) & (v >= 0.0) & (w >= 0.0)
+    ok = (jnp.abs(cos) >= _PAR_EPS) & (t >= t_min) & inside
+    return jnp.where(ok, t, INF), (u, v, w)
+
+
+def intersect_triangles(o, d, t_min, verts, norms, mat_ids) -> Hit:
+    """Brute-force closest hit against T triangles (fine for small T; large
+    meshes go through the BVH in rpt_tpu.ops.bvh)."""
+    v0, v1, v2 = verts[:, 0], verts[:, 1], verts[:, 2]
+    t, (u, v, w) = triangles_hit_t(o, d, t_min, v0, v1, v2)
+
+    t_best, best = _reduce_pairs(t, t_min)
+    idx = jnp.arange(o.shape[0])
+    ub, vb, wb = u[idx, best], v[idx, best], w[idx, best]
+    nb = norms[best]  # (N,3,3)
+    n_interp = (
+        ub[:, None] * nb[:, 0] + vb[:, None] * nb[:, 1] + wb[:, None] * nb[:, 2]
+    )
+    return Hit(t=t_best, normal=normalize(n_interp), mat_id=mat_ids[best])
+
+
+# ---------------------------------------------------------------------------
+# Monomial surface (shape/monomial_surface.rs:21-106): Newton bracket +
+# 60-step bisection, in local space. exp is fixed at 4 as in the reference.
+# ---------------------------------------------------------------------------
+
+
+def _bbox_interval(o_l, d_l, p_min, p_max):
+    d_safe = jnp.where(
+        jnp.abs(d_l) > 1e-20, d_l, jnp.where(d_l < 0, -1e-20, 1e-20)
+    )
+    t1 = (p_min - o_l) / d_safe
+    t2 = (p_max - o_l) / d_safe
+    return (
+        jnp.max(jnp.minimum(t1, t2), axis=-1),
+        jnp.min(jnp.maximum(t1, t2), axis=-1),
+    )
+
+
+def intersect_monomials(o, d, t_min, inv_tf, nmat, heights, mat_ids) -> Hit:
+    o_l, d_l = _local_rays(o, d, inv_tf)  # (N,P,3)
+    h = heights[None, :]  # (1,P)
+
+    p_min = jnp.stack([-jnp.ones_like(heights), jnp.zeros_like(heights), -jnp.ones_like(heights)], -1)
+    p_max = jnp.stack([jnp.ones_like(heights), heights, jnp.ones_like(heights)], -1)
+    b_min, b_max = _bbox_interval(o_l, d_l, p_min[None], p_max[None])  # (N,P)
+    gate = jnp.maximum(b_min, t_min) <= b_max
+
+    ox, oy, oz = o_l[..., 0], o_l[..., 1], o_l[..., 2]
+    dx, dy, dz = d_l[..., 0], d_l[..., 1], d_l[..., 2]
+
+    def dist(t):
+        x = ox + t * dx
+        y = oy + t * dy
+        z = oz + t * dz
+        r2 = x * x + z * z
+        return y - h * r2 * r2
+
+    coef0 = ox * ox + oz * oz
+    coef1 = 2.0 * (ox * dx + oz * dz)
+    coef2 = dx * dx + dz * dz
+
+    def deriv(t):
+        dq = (
+            2.0 * coef0 * coef1
+            + 2.0 * t * (coef1 * coef1 + 2.0 * coef0 * coef2)
+            + 6.0 * t * t * coef1 * coef2
+            + 4.0 * t * t * t * coef2 * coef2
+        )
+        return dy - h * dq
+
+    def deriv2(t):
+        dq = (
+            2.0 * (coef1 * coef1 + 2.0 * coef0 * coef2)
+            + 12.0 * t * coef1 * coef2
+            + 12.0 * t * t * coef2 * coef2
+        )
+        return -h * dq
+
+    maximize = dist(t_min) < 0.0
+
+    # Newton bracketing (monomial_surface.rs:50-66): walk toward the surface
+    # maximum along the ray; stop lanes where dist > 0.
+    def newton_body(_, cur):
+        f = dist(cur)
+        stop = f > 0.0
+        der = deriv(cur)
+        der2 = deriv2(cur)
+        step = der / jnp.where(jnp.abs(der2) > 1e-20, der2, 1e-20)
+        return jnp.where(stop, cur, cur - step)
+
+    cur0 = (b_min + b_max) / 2.0
+    t_max_newton = jax.lax.fori_loop(0, 10, newton_body, cur0)
+    t_max = jnp.where(maximize, t_max_newton, 10000.0)
+    bad_bracket = maximize & (t_max < t_min)
+
+    sign_change = (dist(t_min) < 0.0) != (dist(t_max) < 0.0)
+
+    # 60-step bisection (monomial_surface.rs:73-81)
+    def bisect_body(_, lr):
+        l, r = lr
+        m = (l + r) / 2.0
+        go_right = (dist(m) >= 0.0) == maximize
+        return (jnp.where(go_right, l, m), jnp.where(go_right, m, r))
+
+    lo = jnp.full_like(t_max, t_min)
+    l, r = jax.lax.fori_loop(0, 60, bisect_body, (lo, t_max))
+
+    pos_x = ox + r * dx
+    pos_z = oz + r * dz
+    in_disk = pos_x * pos_x + pos_z * pos_z <= 1.0
+
+    ok = gate & (~bad_bracket) & sign_change & in_disk & (r >= t_min)
+    t = jnp.where(ok, r, INF)
+
+    t_best, best = _reduce_pairs(t, t_min)
+    idx = jnp.arange(o.shape[0])
+    px = pos_x[idx, best]
+    pz = pos_z[idx, best]
+    hb = heights[best]
+    r2 = px * px + pz * pz
+    n_local = normalize(
+        jnp.stack([hb * 4.0 * px * r2, -jnp.ones_like(px), hb * 4.0 * pz * r2], -1)
+    )
+    # Two-sided: flip toward the ray (monomial_surface.rs:101-103)
+    d_best = d_l[idx, best]
+    flip = dot(n_local, d_best) > 0.0
+    n_local = jnp.where(flip[:, None], -n_local, n_local)
+    n_world = _world_normal(nmat[best], n_local)
+    return Hit(t=t_best, normal=n_world, mat_id=mat_ids[best])

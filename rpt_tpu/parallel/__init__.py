@@ -1,0 +1,15 @@
+from .sharding import (
+    make_ray_mesh,
+    make_sharded_diff_fn,
+    make_sharded_render_fn,
+    render_distributed,
+    render_pass_sharded,
+)
+
+__all__ = [
+    "make_ray_mesh",
+    "make_sharded_render_fn",
+    "make_sharded_diff_fn",
+    "render_pass_sharded",
+    "render_distributed",
+]

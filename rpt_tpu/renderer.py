@@ -1,0 +1,212 @@
+"""Renderer: ties camera, scene and integrator into frames.
+
+TPU-native counterpart of /root/reference/src/renderer.rs:18-142. The
+reference fans scanlines out to rayon threads (renderer.rs:117-129); here one
+jitted pass traces every pixel's sample in a single wavefront on the chip, and
+`num_samples` iterations accumulate into a `Buffer` (optionally reporting
+progress like iterative_render, renderer.rs:103-115). Multi-chip sharding of
+the same pass lives in rpt_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .buffer import Buffer, Filter
+from .camera import Camera
+from .integrator import trace_paths
+from .scene import Scene
+
+__all__ = ["Renderer", "render_pass"]
+
+# The reference's f64 EPSILON=1e-12 (renderer.rs:14) does not survive f32;
+# this is the default self-intersection offset, overridable per renderer.
+DEFAULT_EPSILON = 1e-3
+
+
+def pixel_ndc(width: int, height: int, dtype=jnp.float32):
+    """Pixel-center NDC coordinates on the max dimension, flattened (H*W,).
+
+    Parity: renderer.rs:131-135 (y flipped so row 0 is the top of the image).
+    """
+    dim = float(max(width, height))
+    x = jnp.arange(width, dtype=dtype)
+    y = jnp.arange(height, dtype=dtype)
+    xn = (2.0 * x + 1.0 - width) / dim
+    yn = (2.0 * (height - y) - 1.0 - height) / dim
+    xg = jnp.broadcast_to(xn[None, :], (height, width)).reshape(-1)
+    yg = jnp.broadcast_to(yn[:, None], (height, width)).reshape(-1)
+    return xg, yg, dim
+
+
+def _render_pass_impl(scene_data, camera, key, width, height, max_bounces, t_min, ev_scale):
+    """Trace one sample per pixel; returns a (H, W, 3) linear radiance frame.
+
+    Parity: one iteration of get_color (renderer.rs:131-142) for every pixel —
+    jittered NDC coords, thin-lens camera ray, path trace, exposure scale.
+    """
+    xg, yg, dim = pixel_ndc(width, height, scene_data.materials.color.dtype)
+    n = xg.shape[0]
+    k_jit, k_cam, k_trace = jax.random.split(key, 3)
+    jitter = jax.random.uniform(
+        k_jit, (2, n), xg.dtype, minval=-1.0 / dim, maxval=1.0 / dim
+    )
+    o, d = camera.cast_rays(xg + jitter[0], yg + jitter[1], k_cam)
+    colors = trace_paths(scene_data, o, d, k_trace, max_bounces, t_min)
+    colors = colors * ev_scale
+    return colors.reshape(height, width, 3)
+
+
+# IMPORTANT TPU-compile note: the compiled scene is *closed over* (baked into
+# the program as constants), not passed as a jit argument. Scene arrays as
+# jit parameters send the TPU compiler into a pathological >10-minute tail
+# (tiny dynamic einsums/gathers), while the identical program with the scene
+# as constants compiles in seconds — and constants also let XLA fold the
+# per-primitive transforms. Scenes are code (scene.rs model): a new scene is
+# a new program.
+_PASS_CACHE: dict = {}
+
+
+def make_render_fn(scene_data, width: int, height: int, max_bounces: int):
+    """Jitted (camera, key, t_min, ev_scale) -> (H, W, 3) frame for a fixed
+    compiled scene, cached per (scene, resolution, bounces)."""
+    cache_key = (id(scene_data), width, height, max_bounces)
+    fn = _PASS_CACHE.get(cache_key)
+    if fn is None:
+
+        @jax.jit
+        def fn(camera, key, t_min, ev_scale):
+            return _render_pass_impl(
+                scene_data, camera, key, width, height, max_bounces, t_min, ev_scale
+            )
+
+        _PASS_CACHE[cache_key] = fn
+    return fn
+
+
+def render_pass(scene_data, camera, key, width, height, max_bounces, t_min, ev_scale):
+    """Convenience wrapper: one sample/pixel through the per-scene cached jit."""
+    fn = make_render_fn(scene_data, width, height, max_bounces)
+    return fn(camera, key, t_min, ev_scale)
+
+
+@jax.jit
+def _accumulate(buffer: Buffer, frame: jnp.ndarray) -> Buffer:
+    return buffer.add_samples(frame)
+
+
+class Renderer:
+    """Fluent builder over a scene + camera (renderer.rs:18-94).
+
+    Defaults mirror renderer.rs:46-57: 800x600, EV 0, Box(0) filter,
+    0 bounces, 1 sample.
+    """
+
+    def __init__(
+        self,
+        scene: Scene,
+        camera: Optional[Camera] = None,
+        width: int = 800,
+        height: int = 600,
+        exposure_value: float = 0.0,
+        filter: Filter = Filter(),
+        max_bounces: int = 0,
+        num_samples: int = 1,
+        epsilon: float = DEFAULT_EPSILON,
+        seed: int = 0,
+        dtype=jnp.float32,
+    ):
+        self.scene = scene
+        self.camera = camera if camera is not None else Camera()
+        self.width = width
+        self.height = height
+        self.exposure_value = exposure_value
+        self.filter = filter
+        self.max_bounces = max_bounces
+        self.num_samples = num_samples
+        self.epsilon = epsilon
+        self.seed = seed
+        self.dtype = dtype
+
+    # --- builder setters (renderer.rs:60-93) -------------------------------
+
+    def set_width(self, width: int) -> "Renderer":
+        self.width = width
+        return self
+
+    def set_height(self, height: int) -> "Renderer":
+        self.height = height
+        return self
+
+    def set_exposure_value(self, ev: float) -> "Renderer":
+        self.exposure_value = ev
+        return self
+
+    def set_filter(self, filter: Filter) -> "Renderer":
+        self.filter = filter
+        return self
+
+    def set_max_bounces(self, n: int) -> "Renderer":
+        self.max_bounces = n
+        return self
+
+    def set_num_samples(self, n: int) -> "Renderer":
+        self.num_samples = n
+        return self
+
+    # --- rendering ---------------------------------------------------------
+
+    def _pass_args(self):
+        scene_data = self.scene.compile(self.dtype)
+        t_min = jnp.asarray(self.epsilon, self.dtype)
+        ev_scale = jnp.asarray(2.0**self.exposure_value, self.dtype)
+        return scene_data, t_min, ev_scale
+
+    def sample_into(self, buffer: Buffer, iterations: int, start_iter: int = 0) -> Buffer:
+        """Add `iterations` samples per pixel to the buffer
+        (parity: Renderer::sample, renderer.rs:117-129)."""
+        scene_data, t_min, ev_scale = self._pass_args()
+        base = jax.random.PRNGKey(self.seed)
+        for i in range(start_iter, start_iter + iterations):
+            key = jax.random.fold_in(base, i)
+            frame = render_pass(
+                scene_data,
+                self.camera,
+                key,
+                self.width,
+                self.height,
+                self.max_bounces,
+                t_min,
+                ev_scale,
+            )
+            buffer = _accumulate(buffer, frame)
+        return buffer
+
+    def render_buffer(self) -> Buffer:
+        buffer = Buffer.new(self.width, self.height, self.dtype)
+        return self.sample_into(buffer, self.num_samples)
+
+    def render(self) -> np.ndarray:
+        """Render and return a uint8 (H, W, 3) image
+        (parity: Renderer::render, renderer.rs:96-100)."""
+        return self.render_buffer().image(self.filter)
+
+    def iterative_render(
+        self, callback_interval: int, callback: Callable[[int, Buffer], None]
+    ) -> Buffer:
+        """Progressive rendering with a callback every k samples
+        (parity: renderer.rs:103-115)."""
+        buffer = Buffer.new(self.width, self.height, self.dtype)
+        iteration = 0
+        while iteration < self.num_samples:
+            steps = min(self.num_samples - iteration, callback_interval)
+            buffer = self.sample_into(buffer, steps, start_iter=iteration)
+            iteration += steps
+            callback(iteration, buffer)
+        return buffer

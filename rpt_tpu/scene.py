@@ -1,0 +1,405 @@
+"""Declarative scene model + compiler to flat device arrays.
+
+Host-side `Scene` / `Object` mirror /root/reference/src/scene.rs and
+src/object.rs (declarative builder: `scene.add(object)`, `scene.add(light)`,
+`scene.environment = ...`). What the reference dispatches through `Box<dyn
+Shape>` vtables at trace time (renderer.rs:211-220), we lower once at compile
+time into struct-of-arrays buffers grouped by primitive type, so intersection
+is a handful of fused batched kernels instead of per-object virtual calls.
+
+`SceneData.intersect` is the scene-level closest hit: the elementwise min over
+per-type closest hits — semantically identical to the reference's linear scan
+over objects with a running-min HitRecord.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .environment import Environment
+from .lights import (
+    AmbientLight,
+    AmbientLightData,
+    CubeLightData,
+    DirectionalLight,
+    DirectionalLightData,
+    MeshLightData,
+    ObjectLight,
+    PointLight,
+    PointLightData,
+    SphereLightData,
+)
+from .materials import Material, MaterialTable
+from .ops import intersect as ops
+from .ops.bvh import BvhData, build_bvh, bvh_closest_hit
+from .shapes import (
+    Cube,
+    Mesh,
+    MonomialSurface,
+    Plane,
+    Shape,
+    Sphere,
+    Transformed,
+    unwrap_transform,
+)
+
+__all__ = ["Object", "Scene", "SceneData"]
+
+# Meshes with at least this many triangles get a BVH; smaller ones are
+# brute-forced (the (N rays x T tris) broadcast is faster than traversal for
+# small T on the VPU).
+BVH_THRESHOLD = 64
+
+
+class Object:
+    """A shape with a material (object.rs:10-32)."""
+
+    def __init__(self, shape: Shape, material: Optional[Material] = None):
+        self.shape = shape
+        self._material = material if material is not None else Material.default()
+
+    def material(self, material: Material) -> "Object":
+        """Builder-style material setter (object.rs:27-31)."""
+        return Object(self.shape, material)
+
+    @property
+    def mat(self) -> Material:
+        return self._material
+
+
+class Scene:
+    """A scene: objects + lights + environment (scene.rs:7-41)."""
+
+    def __init__(self):
+        self.objects: List[Object] = []
+        self.lights: List[Union[PointLight, AmbientLight, DirectionalLight, ObjectLight]] = []
+        self.environment: Environment = Environment.black()
+        self._compiled: Optional[Tuple[object, "SceneData"]] = None
+
+    def add(self, node) -> None:
+        """Overloaded add for objects and lights (scene.rs:26-41)."""
+        self._compiled = None
+        if isinstance(node, Object):
+            self.objects.append(node)
+        elif isinstance(node, (PointLight, AmbientLight, DirectionalLight, ObjectLight)):
+            self.lights.append(node)
+        else:
+            raise TypeError(f"Cannot add {type(node)} to a Scene")
+
+    def set_environment(self, env: Environment) -> None:
+        self._compiled = None
+        self.environment = env
+
+    def compile(self, dtype=jnp.float32) -> "SceneData":
+        key = (dtype, len(self.objects), len(self.lights), id(self.environment))
+        if self._compiled is not None and self._compiled[0] == key:
+            return self._compiled[1]
+        data = compile_scene(self, dtype)
+        self._compiled = (key, data)
+        return data
+
+
+# ---------------------------------------------------------------------------
+# Compiled device-side scene
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PrimXf:
+    """Analytic primitives that intersect in local space via an affine
+    inverse transform (sphere / cube / monomial), cf. shape.rs:110-137."""
+
+    inv_tf: jnp.ndarray  # (P, 3, 4)
+    nmat: jnp.ndarray  # (P, 3, 3) inverse-transpose linear
+    mat_id: jnp.ndarray  # (P,)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PlaneArrays:
+    normal: jnp.ndarray  # (P, 3)
+    value: jnp.ndarray  # (P,)
+    mat_id: jnp.ndarray  # (P,)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TriangleArrays:
+    verts: jnp.ndarray  # (T, 3, 3) world space
+    norms: jnp.ndarray  # (T, 3, 3)
+    mat_id: jnp.ndarray  # (T,)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MonomialArrays:
+    inv_tf: jnp.ndarray
+    nmat: jnp.ndarray
+    height: jnp.ndarray  # (P,)
+    mat_id: jnp.ndarray
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneData:
+    """Flat, replicated-per-chip scene representation."""
+
+    materials: MaterialTable
+    spheres: Optional[PrimXf]
+    cubes: Optional[PrimXf]
+    planes: Optional[PlaneArrays]
+    monomials: Optional[MonomialArrays]
+    triangles: Optional[TriangleArrays]  # small meshes, brute force
+    bvh: Optional[BvhData]  # large meshes, BVH traversal
+    lights: tuple  # static tuple of *LightData pytrees
+    environment: Environment
+
+    def to_device(self) -> "SceneData":
+        """Lift all host numpy leaves to jnp arrays.
+
+        Compiled scenes are numpy-backed so that, closed over by a render
+        jit, they are embedded as program constants and ship with the
+        executable in ONE transfer — each standalone device_put is a round
+        trip through the TPU relay. Called at the top of traced code so
+        gathers by traced indices are legal; a no-op for device arrays.
+        """
+        return jax.tree_util.tree_map(jnp.asarray, self)
+
+    def intersect(self, o: jnp.ndarray, d: jnp.ndarray, t_min) -> ops.Hit:
+        """Closest hit of N rays against the whole scene
+        (parity: renderer.rs:206-221 linear scan with running min)."""
+        self = self.to_device()
+        hit = ops.no_hit(o.shape[0], o.dtype)
+        if self.spheres is not None:
+            hit = ops.merge_hits(
+                hit,
+                ops.intersect_spheres(
+                    o, d, t_min, self.spheres.inv_tf, self.spheres.nmat, self.spheres.mat_id
+                ),
+            )
+        if self.cubes is not None:
+            hit = ops.merge_hits(
+                hit,
+                ops.intersect_cubes(
+                    o, d, t_min, self.cubes.inv_tf, self.cubes.nmat, self.cubes.mat_id
+                ),
+            )
+        if self.planes is not None:
+            hit = ops.merge_hits(
+                hit,
+                ops.intersect_planes(
+                    o, d, t_min, self.planes.normal, self.planes.value, self.planes.mat_id
+                ),
+            )
+        if self.monomials is not None:
+            hit = ops.merge_hits(
+                hit,
+                ops.intersect_monomials(
+                    o,
+                    d,
+                    t_min,
+                    self.monomials.inv_tf,
+                    self.monomials.nmat,
+                    self.monomials.height,
+                    self.monomials.mat_id,
+                ),
+            )
+        if self.triangles is not None:
+            hit = ops.merge_hits(
+                hit,
+                ops.intersect_triangles(
+                    o, d, t_min, self.triangles.verts, self.triangles.norms, self.triangles.mat_id
+                ),
+            )
+        if self.bvh is not None:
+            hit = ops.merge_hits(hit, bvh_closest_hit(self.bvh, o, d, t_min))
+        return hit
+
+
+# ---------------------------------------------------------------------------
+# Compiler
+# ---------------------------------------------------------------------------
+
+
+def _affine_parts(matrix: np.ndarray):
+    inv = np.linalg.inv(matrix)
+    inv_tf = inv[:3, :4]
+    lin = matrix[:3, :3]
+    nmat = np.linalg.inv(lin).T
+    det = float(np.linalg.det(lin))
+    return inv_tf, lin, matrix[:3, 3], nmat, det
+
+
+def _bake_mesh(mesh: Mesh, matrix: np.ndarray):
+    """Bake a transform into world-space triangles. By linearity this is
+    exactly equivalent to the reference's local-space intersection + normal
+    fix-up (shape.rs:127-137); see rpt_tpu/shapes/__init__.py docstring."""
+    lin = matrix[:3, :3]
+    trans = matrix[:3, 3]
+    nmat = np.linalg.inv(lin).T
+    verts = mesh.vertices @ lin.T + trans
+    norms = mesh.normals @ nmat.T
+    return verts, norms
+
+
+def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
+    materials: List[Material] = []
+    mat_index = {}
+
+    def mat_id(m: Material) -> int:
+        if m not in mat_index:
+            mat_index[m] = len(materials)
+            materials.append(m)
+        return mat_index[m]
+
+    sphere_rows, cube_rows, plane_rows, mono_rows = [], [], [], []
+    tri_verts, tri_norms, tri_mats = [], [], []
+
+    for obj in scene.objects:
+        base, matrix = unwrap_transform(obj.shape)
+        mid = mat_id(obj.mat)
+        if isinstance(base, Sphere):
+            inv_tf, _, _, nmat, _ = _affine_parts(matrix)
+            sphere_rows.append((inv_tf, nmat, mid))
+        elif isinstance(base, Cube):
+            inv_tf, _, _, nmat, _ = _affine_parts(matrix)
+            cube_rows.append((inv_tf, nmat, mid))
+        elif isinstance(base, MonomialSurface):
+            if abs(base.exp - 4.0) > 1e-9:
+                raise ValueError("MonomialSurface only supports exp=4 (as the reference)")
+            inv_tf, _, _, nmat, _ = _affine_parts(matrix)
+            mono_rows.append((inv_tf, nmat, base.height, mid))
+        elif isinstance(base, Plane):
+            # Affine transform of a plane is a plane: n' = A^-T n,
+            # v' = v + n'.b — exact, so no per-ray transform is needed.
+            lin = matrix[:3, :3]
+            trans = matrix[:3, 3]
+            n_new = np.linalg.inv(lin).T @ base.normal
+            v_new = base.value + float(n_new @ trans)
+            plane_rows.append((n_new, v_new, mid))
+        elif isinstance(base, Mesh):
+            verts, norms = _bake_mesh(base, matrix)
+            tri_verts.append(verts)
+            tri_norms.append(norms)
+            tri_mats.append(np.full(verts.shape[0], mid, np.int32))
+        else:
+            raise TypeError(f"Unsupported shape type: {type(base)}")
+
+    np_dtype = np.dtype(dtype)
+
+    def pack_primxf(rows) -> Optional[PrimXf]:
+        if not rows:
+            return None
+        return PrimXf(
+            inv_tf=np.stack([r[0] for r in rows]).astype(np_dtype),
+            nmat=np.stack([r[1] for r in rows]).astype(np_dtype),
+            mat_id=np.asarray([r[2] for r in rows], np.int32),
+        )
+
+    spheres = pack_primxf(sphere_rows)
+    cubes = pack_primxf(cube_rows)
+
+    planes = None
+    if plane_rows:
+        planes = PlaneArrays(
+            normal=np.stack([r[0] for r in plane_rows]).astype(np_dtype),
+            value=np.asarray([r[1] for r in plane_rows], np_dtype),
+            mat_id=np.asarray([r[2] for r in plane_rows], np.int32),
+        )
+
+    monomials = None
+    if mono_rows:
+        monomials = MonomialArrays(
+            inv_tf=np.stack([r[0] for r in mono_rows]).astype(np_dtype),
+            nmat=np.stack([r[1] for r in mono_rows]).astype(np_dtype),
+            height=np.asarray([r[2] for r in mono_rows], np_dtype),
+            mat_id=np.asarray([r[3] for r in mono_rows], np.int32),
+        )
+
+    triangles = None
+    bvh = None
+    if tri_verts:
+        verts = np.concatenate(tri_verts)
+        norms = np.concatenate(tri_norms)
+        mats = np.concatenate(tri_mats)
+        if verts.shape[0] >= BVH_THRESHOLD:
+            bvh = build_bvh(verts, norms, mats, dtype)
+        else:
+            triangles = TriangleArrays(
+                verts=verts.astype(np_dtype),
+                norms=norms.astype(np_dtype),
+                mat_id=mats.astype(np.int32),
+            )
+
+    lights = tuple(_compile_light(l, dtype) for l in scene.lights)
+
+    return SceneData(
+        materials=MaterialTable.pack(materials, dtype),
+        spheres=spheres,
+        cubes=cubes,
+        planes=planes,
+        monomials=monomials,
+        triangles=triangles,
+        bvh=bvh,
+        lights=lights,
+        environment=scene.environment,
+    )
+
+
+def _compile_light(light, dtype):
+    np_dtype = np.dtype(dtype)
+    if isinstance(light, PointLight):
+        return PointLightData(
+            color=np.asarray(light.color, np_dtype),
+            position=np.asarray(light.position, np_dtype),
+        )
+    if isinstance(light, AmbientLight):
+        return AmbientLightData(color=np.asarray(light.color, np_dtype))
+    if isinstance(light, DirectionalLight):
+        return DirectionalLightData(
+            color=np.asarray(light.color, np_dtype),
+            direction=np.asarray(light.direction, np_dtype),
+        )
+    if isinstance(light, ObjectLight):
+        obj = light.object
+        m = obj.mat
+        emitted = (np.asarray(m.color) * m.emittance).astype(np_dtype)
+        base, matrix = unwrap_transform(obj.shape)
+        if isinstance(base, Sphere):
+            inv_tf, lin, trans, nmat, det = _affine_parts(matrix)
+            return SphereLightData(
+                inv_tf=inv_tf.astype(np_dtype),
+                l2w_lin=lin.astype(np_dtype),
+                l2w_trans=trans.astype(np_dtype),
+                nmat=nmat.astype(np_dtype),
+                det=np_dtype.type(det),
+                emitted=emitted,
+            )
+        if isinstance(base, Cube):
+            inv_tf, lin, trans, nmat, det = _affine_parts(matrix)
+            return CubeLightData(
+                l2w_lin=lin.astype(np_dtype),
+                l2w_trans=trans.astype(np_dtype),
+                nmat=nmat.astype(np_dtype),
+                det=np_dtype.type(det),
+                emitted=emitted,
+            )
+        if isinstance(base, Mesh):
+            verts, norms = _bake_mesh(base, matrix)
+            e1 = verts[:, 1] - verts[:, 0]
+            e2 = verts[:, 2] - verts[:, 0]
+            areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+            return MeshLightData(
+                verts=verts.astype(np_dtype),
+                norms=norms.astype(np_dtype),
+                areas=areas.astype(np_dtype),
+                emitted=emitted,
+            )
+        raise TypeError(f"Unsupported area-light shape: {type(base)}")
+    raise TypeError(f"Unknown light type: {type(light)}")
