@@ -22,12 +22,15 @@ from .renderer import Renderer
 from .scene import Object, Scene
 from .shapes import (
     Cube,
+    Group,
+    KdTree,
     Mesh,
     MonomialSurface,
     Plane,
     Sphere,
     Transformed,
     cube,
+    group,
     monomial_surface,
     plane,
     polygon,
@@ -54,12 +57,15 @@ __all__ = [
     "Object",
     "Scene",
     "Cube",
+    "Group",
+    "KdTree",
     "Mesh",
     "MonomialSurface",
     "Plane",
     "Sphere",
     "Transformed",
     "cube",
+    "group",
     "monomial_surface",
     "plane",
     "polygon",

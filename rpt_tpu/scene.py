@@ -37,8 +37,10 @@ from .lights import (
 from .materials import Material, MaterialTable
 from .ops import intersect as ops
 from .ops.bvh import BvhData, build_bvh, bvh_closest_hit
+from .ops.tlas import InstancedMeshes, build_instanced, instanced_closest_hit
 from .shapes import (
     Cube,
+    Group,
     Mesh,
     MonomialSurface,
     Plane,
@@ -54,6 +56,14 @@ __all__ = ["Object", "Scene", "SceneData"]
 # brute-forced (the (N rays x T tris) broadcast is faster than traversal for
 # small T on the VPU).
 BVH_THRESHOLD = 64
+
+# Analytic primitive batches larger than this are intersected in fori_loop
+# chunks so the (N rays x P prims) broadcast stays memory-bounded.
+PRIM_CHUNK = 256
+
+# If baking transforms into world-space triangles would exceed this count,
+# meshes go through the two-level instanced BVH instead.
+BAKE_TRI_LIMIT = 200_000
 
 
 class Object:
@@ -157,6 +167,7 @@ class SceneData:
     monomials: Optional[MonomialArrays]
     triangles: Optional[TriangleArrays]  # small meshes, brute force
     bvh: Optional[BvhData]  # large meshes, BVH traversal
+    instanced: Optional[InstancedMeshes]  # shared/instanced meshes, TLAS+BLAS
     lights: tuple  # static tuple of *LightData pytrees
     environment: Environment
 
@@ -179,47 +190,84 @@ class SceneData:
         if self.spheres is not None:
             hit = ops.merge_hits(
                 hit,
-                ops.intersect_spheres(
-                    o, d, t_min, self.spheres.inv_tf, self.spheres.nmat, self.spheres.mat_id
+                _maybe_chunked(
+                    ops.intersect_spheres,
+                    (self.spheres.inv_tf, self.spheres.nmat, self.spheres.mat_id),
+                    o, d, t_min,
                 ),
             )
         if self.cubes is not None:
             hit = ops.merge_hits(
                 hit,
-                ops.intersect_cubes(
-                    o, d, t_min, self.cubes.inv_tf, self.cubes.nmat, self.cubes.mat_id
+                _maybe_chunked(
+                    ops.intersect_cubes,
+                    (self.cubes.inv_tf, self.cubes.nmat, self.cubes.mat_id),
+                    o, d, t_min,
                 ),
             )
         if self.planes is not None:
             hit = ops.merge_hits(
                 hit,
-                ops.intersect_planes(
-                    o, d, t_min, self.planes.normal, self.planes.value, self.planes.mat_id
+                _maybe_chunked(
+                    ops.intersect_planes,
+                    (self.planes.normal, self.planes.value, self.planes.mat_id),
+                    o, d, t_min,
                 ),
             )
         if self.monomials is not None:
             hit = ops.merge_hits(
                 hit,
-                ops.intersect_monomials(
-                    o,
-                    d,
-                    t_min,
-                    self.monomials.inv_tf,
-                    self.monomials.nmat,
-                    self.monomials.height,
-                    self.monomials.mat_id,
+                _maybe_chunked(
+                    ops.intersect_monomials,
+                    (
+                        self.monomials.inv_tf,
+                        self.monomials.nmat,
+                        self.monomials.height,
+                        self.monomials.mat_id,
+                    ),
+                    o, d, t_min,
                 ),
             )
         if self.triangles is not None:
             hit = ops.merge_hits(
                 hit,
-                ops.intersect_triangles(
-                    o, d, t_min, self.triangles.verts, self.triangles.norms, self.triangles.mat_id
+                _maybe_chunked(
+                    ops.intersect_triangles,
+                    (self.triangles.verts, self.triangles.norms, self.triangles.mat_id),
+                    o, d, t_min,
                 ),
             )
         if self.bvh is not None:
             hit = ops.merge_hits(hit, bvh_closest_hit(self.bvh, o, d, t_min))
+        if self.instanced is not None:
+            hit = ops.merge_hits(hit, instanced_closest_hit(self.instanced, o, d, t_min))
         return hit
+
+
+def _maybe_chunked(intersect_fn, prim_arrays: tuple, o, d, t_min, chunk: int = PRIM_CHUNK):
+    """Intersect N rays against P primitives, looping over primitive chunks
+    when P is large so the (N, P) broadcast never materializes whole.
+
+    Padding duplicates primitive 0, which cannot change a closest-hit
+    min-reduction (`merge_hits` keeps the first of two equal hits).
+    """
+    P = prim_arrays[0].shape[0]
+    if P <= chunk:
+        return intersect_fn(o, d, t_min, *prim_arrays)
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+    padded = tuple(
+        jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)]) if pad else a
+        for a in prim_arrays
+    )
+
+    def body(i, hit):
+        sl = tuple(
+            jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk, axis=0) for a in padded
+        )
+        return ops.merge_hits(hit, intersect_fn(o, d, t_min, *sl))
+
+    return jax.lax.fori_loop(0, n_chunks, body, ops.no_hit(o.shape[0], o.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -248,6 +296,20 @@ def _bake_mesh(mesh: Mesh, matrix: np.ndarray):
     return verts, norms
 
 
+def _flatten_shapes(shape: Shape, matrix: np.ndarray):
+    """Yield (base_shape, world matrix) pairs, flattening nested Groups by
+    composing transforms (the reference's nested-kd-tree semantics:
+    Transformed<KdTree> intersects children with the composed ray,
+    shape.rs:127-137 + kdtree.rs:151-223)."""
+    base, m = unwrap_transform(shape)
+    m = matrix @ m
+    if isinstance(base, Group):
+        for child in base.shapes:
+            yield from _flatten_shapes(child, m)
+    else:
+        yield base, m
+
+
 def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
     materials: List[Material] = []
     mat_index = {}
@@ -260,10 +322,16 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
 
     sphere_rows, cube_rows, plane_rows, mono_rows = [], [], [], []
     tri_verts, tri_norms, tri_mats = [], [], []
+    # Mesh usages as (mesh, matrix, mat_id); geometry shared by Python id
+    mesh_uses: List[tuple] = []
 
+    flat: List[tuple] = []
     for obj in scene.objects:
-        base, matrix = unwrap_transform(obj.shape)
         mid = mat_id(obj.mat)
+        for base, matrix in _flatten_shapes(obj.shape, np.eye(4)):
+            flat.append((base, matrix, mid))
+
+    for base, matrix, mid in flat:
         if isinstance(base, Sphere):
             inv_tf, _, _, nmat, _ = _affine_parts(matrix)
             sphere_rows.append((inv_tf, nmat, mid))
@@ -284,12 +352,33 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
             v_new = base.value + float(n_new @ trans)
             plane_rows.append((n_new, v_new, mid))
         elif isinstance(base, Mesh):
-            verts, norms = _bake_mesh(base, matrix)
-            tri_verts.append(verts)
-            tri_norms.append(norms)
-            tri_mats.append(np.full(verts.shape[0], mid, np.int32))
+            mesh_uses.append((base, matrix, mid))
         else:
             raise TypeError(f"Unsupported shape type: {type(base)}")
+
+    # Mesh layout decision: bake transforms into world-space triangles when
+    # every mesh is used once and the total stays small (cheapest traversal);
+    # shared geometry or very large bakes go through the instanced TLAS+BLAS.
+    instanced = None
+    if mesh_uses:
+        unique_ids = {id(m) for m, _, _ in mesh_uses}
+        shared = len(unique_ids) < len(mesh_uses)
+        baked_total = sum(m.num_triangles for m, _, _ in mesh_uses)
+        if shared or baked_total > BAKE_TRI_LIMIT:
+            uniq: List[Mesh] = []
+            slot = {}
+            for m, _, _ in mesh_uses:
+                if id(m) not in slot:
+                    slot[id(m)] = len(uniq)
+                    uniq.append(m)
+            instances = [(slot[id(m)], matrix, mid) for m, matrix, mid in mesh_uses]
+            instanced = build_instanced(uniq, instances, dtype)
+        else:
+            for m, matrix, mid in mesh_uses:
+                verts, norms = _bake_mesh(m, matrix)
+                tri_verts.append(verts)
+                tri_norms.append(norms)
+                tri_mats.append(np.full(verts.shape[0], mid, np.int32))
 
     np_dtype = np.dtype(dtype)
 
@@ -347,6 +436,7 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
         monomials=monomials,
         triangles=triangles,
         bvh=bvh,
+        instanced=instanced,
         lights=lights,
         environment=scene.environment,
     )

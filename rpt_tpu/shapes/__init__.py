@@ -28,6 +28,8 @@ __all__ = [
     "Cube",
     "MonomialSurface",
     "Mesh",
+    "Group",
+    "KdTree",
     "Transformed",
     "sphere",
     "plane",
@@ -35,6 +37,7 @@ __all__ = [
     "monomial_surface",
     "polygon",
     "triangle_mesh",
+    "group",
 ]
 
 
@@ -157,6 +160,32 @@ class Mesh(Shape):
         e1 = self.vertices[:, 1] - self.vertices[:, 0]
         e2 = self.vertices[:, 2] - self.vertices[:, 0]
         return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+
+
+class Group(Shape):
+    """A collection of shapes acting as one shape.
+
+    API parity with the reference's `KdTree::new(Vec<Box<dyn Bounded>>)`
+    (kdtree.rs:108-119), which is itself a `Shape` (kdtree.rs:128) so groups
+    nest and can be transformed as a unit (examples/fractal_teapots.rs). The
+    acceleration-structure choice is NOT part of this type: the scene compiler
+    flattens groups (composing transforms) and picks the layout per primitive
+    type — brute-force SoA batches for small counts, chunked batches for large
+    analytic-primitive counts, and a two-level instanced BVH for meshes.
+    """
+
+    def __init__(self, shapes: List["Shape"]):
+        self.shapes = list(shapes)
+
+
+#: Alias matching the reference's type name. In the reference a KdTree is a
+#: concrete accelerator; here acceleration is a compiler decision, so this is
+#: just a named group of shapes.
+KdTree = Group
+
+
+def group(shapes: List["Shape"]) -> Group:
+    return Group(shapes)
 
 
 class Transformed(Shape):
