@@ -22,6 +22,18 @@ def _random_rays(n, key, origin_box=3.0):
     return o, d
 
 
+def _inward_rays(n, key, radius=6.0, target_jitter=1.5):
+    """Origins on a sphere of `radius` looking at jittered points near the
+    origin — guarantees most rays hit geometry clustered around the origin."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    o = jax.random.normal(k1, (n, 3))
+    o = radius * o / jnp.linalg.norm(o, axis=-1, keepdims=True)
+    target = jax.random.uniform(k2, (n, 3), minval=-target_jitter, maxval=target_jitter)
+    d = target - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d
+
+
 def _tet_mesh(seed=0, tris=24):
     """A random triangle soup around the origin."""
     rng = np.random.default_rng(seed)
@@ -91,8 +103,19 @@ def test_chunked_matches_unchunked_spheres():
     # fori_loop chunks compile separately from the one-shot broadcast, so f32
     # rounding may differ in the last couple of ulps.
     np.testing.assert_allclose(chunked.t, direct.t, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(chunked.normal, direct.normal, rtol=1e-5, atol=1e-6)
-    np.testing.assert_array_equal(chunked.mat_id, direct.mat_id)
+    # Hit.normal is documented garbage on miss lanes (ops/intersect.py); only
+    # compare where both paths actually hit.
+    hit_mask = np.isfinite(np.asarray(direct.t))
+    assert hit_mask.sum() > 20, "test should actually hit things"
+    np.testing.assert_allclose(
+        np.asarray(chunked.normal)[hit_mask],
+        np.asarray(direct.normal)[hit_mask],
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(chunked.mat_id)[hit_mask], np.asarray(direct.mat_id)[hit_mask]
+    )
 
 
 def _instanced_vs_baked(mesh_factory, matrices):
@@ -113,19 +136,39 @@ def _instanced_vs_baked(mesh_factory, matrices):
     data_baked = compile_scene(s_baked)
     assert data_baked.instanced is None, "unique meshes should take the baked path"
 
-    o, d = _random_rays(256, key=7, origin_box=5.0)
+    # Aim rays from a sphere of origins at the transformed triangle centroids
+    # so that hundreds of lanes actually hit the (sparse) triangle soup.
+    targets = []
+    for m in matrices:
+        v = mesh_factory().vertices  # (T, 3, 3)
+        c = v.mean(axis=1)  # centroids (T, 3)
+        ch = np.concatenate([c, np.ones((len(c), 1))], axis=1)
+        targets.append((ch @ np.asarray(m, np.float64).T)[:, :3])
+    targets = np.concatenate(targets)
+    n_rays = 256
+    rng = np.random.default_rng(7)
+    o = rng.normal(size=(n_rays, 3))
+    o = 6.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    tsel = targets[rng.integers(0, len(targets), n_rays)]
+    d = tsel - o
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
     t_min = jnp.float32(1e-3)
     hi = data_inst.intersect(o, d, t_min)
     hb = data_baked.intersect(o, d, t_min)
     # Same hits up to f32 transform round-off (baked bakes f64 then casts;
     # instanced transforms rays in f32).
-    np.testing.assert_allclose(hi.t, hb.t, rtol=2e-4, atol=2e-4)
+    finite = np.isfinite(np.asarray(hi.t)) | np.isfinite(np.asarray(hb.t))
+    np.testing.assert_allclose(
+        np.asarray(hi.t)[finite], np.asarray(hb.t)[finite], rtol=2e-4, atol=2e-4
+    )
     both = np.isfinite(np.asarray(hi.t)) & np.isfinite(np.asarray(hb.t))
     np.testing.assert_allclose(
         np.asarray(hi.normal)[both], np.asarray(hb.normal)[both], rtol=1e-2, atol=1e-3
     )
     np.testing.assert_array_equal(np.asarray(hi.mat_id)[both], np.asarray(hb.mat_id)[both])
-    assert np.isfinite(np.asarray(hi.t)).sum() > 10, "test should actually hit things"
+    assert both.sum() > 50, "test should actually hit things"
 
 
 def test_instanced_matches_baked_two_instances():
