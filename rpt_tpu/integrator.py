@@ -38,6 +38,12 @@ FIREFLY_CLAMP = 100.0
 _PDF_EPS = 1e-10
 
 
+def _no_hit_like(o: jnp.ndarray):
+    from .ops.intersect import no_hit
+
+    return no_hit(o.shape[0], o.dtype)
+
+
 def sample_lights(scene, mat, pos, n, wo, key, t_min, found) -> jnp.ndarray:
     """Next-event estimation against every light (renderer.rs:177-204).
 
@@ -55,7 +61,9 @@ def sample_lights(scene, mat, pos, n, wo, key, t_min, found) -> jnp.ndarray:
             continue
         k_i = jax.random.fold_in(key, i)
         intensity, wi, dist = light.illuminate(k_i, pos)
-        shadow = scene.intersect(pos, wi, t_min)
+        # Shadow rays only matter for lanes that hit a surface; dead lanes
+        # park immediately inside the BVH/TLAS traversal.
+        shadow = scene.intersect(pos, wi, t_min, active=found)
         visible = (~shadow.valid) | (shadow.t > dist)
         f = bsdf(mat, n, wo, wi)
         contrib = f * intensity * dot(wi, n)[..., None]
@@ -82,12 +90,24 @@ def trace_paths(
     scene = scene.to_device()
     locals_per_depth = []
     weights_per_depth = []
+    active = jnp.ones(o.shape[0], bool)
 
     for depth in range(max_bounces + 1):
         k_depth = jax.random.fold_in(key, depth)
         k_lights, k_bsdf = jax.random.split(k_depth)
 
-        hit = scene.intersect(o, d, t_min)
+        if depth == 0:
+            hit = scene.intersect(o, d, t_min)
+        else:
+            # Dead lanes (missed / invalid sample at a previous depth) park
+            # inside the traversal loops; if EVERY lane is dead, skip the
+            # whole depth's intersection+NEE work with a real runtime branch.
+            hit = jax.lax.cond(
+                jnp.any(active),
+                lambda o, d, active: scene.intersect(o, d, t_min, active=active),
+                lambda o, d, active: _no_hit_like(o),
+                o, d, active,
+            )
         found = hit.valid
         env = scene.environment.get_color(d)
 
@@ -97,7 +117,19 @@ def trace_paths(
         mat = scene.materials.gather(hit.mat_id)
 
         emitted = mat.emittance[:, None] * mat.color
-        direct = sample_lights(scene, mat, pos, hit.normal, wo, k_lights, t_min, found)
+        if depth == 0:
+            direct = sample_lights(
+                scene, mat, pos, hit.normal, wo, k_lights, t_min, found
+            )
+        else:
+            direct = jax.lax.cond(
+                jnp.any(found),
+                lambda mat, pos, n, wo, found: sample_lights(
+                    scene, mat, pos, n, wo, k_lights, t_min, found
+                ),
+                lambda mat, pos, n, wo, found: jnp.zeros_like(pos),
+                mat, pos, hit.normal, wo, found,
+            )
         local = jnp.where(found[:, None], emitted + direct, env)
         locals_per_depth.append(local)
 
@@ -118,6 +150,7 @@ def trace_paths(
             weights_per_depth.append(w)
             o = pos
             d = wi
+            active = ok
 
     # Reverse fold with the per-level clamp (renderer.rs:162-167)
     radiance = locals_per_depth[-1]

@@ -161,7 +161,7 @@ def _tri_hit_t(o, d, v0, v1, v2, t_min):
     return jnp.where(ok, t, INF), (u, v, w)
 
 
-def bvh_closest_hit(bvh: BvhData, o: jnp.ndarray, d: jnp.ndarray, t_min) -> Hit:
+def bvh_closest_hit(bvh: BvhData, o: jnp.ndarray, d: jnp.ndarray, t_min, active=None) -> Hit:
     """Closest hit of N rays against the BVH triangles.
 
     All rays advance one node per iteration of a single while_loop; a ray's
@@ -169,6 +169,9 @@ def bvh_closest_hit(bvh: BvhData, o: jnp.ndarray, d: jnp.ndarray, t_min) -> Hit:
     sentinel M when traversal is done. The bbox test prunes against the
     running-best hit (`lo <= t_best`), the vector analog of the reference's
     early-exit (kdtree.rs:208-212).
+
+    Lanes with `active=False` start parked at the sentinel, so the lockstep
+    iteration count is the max over *live* lanes only.
     """
     bvh = jax.tree_util.tree_map(jnp.asarray, bvh)  # lift host-numpy BVHs
     N = o.shape[0]
@@ -217,7 +220,10 @@ def bvh_closest_hit(bvh: BvhData, o: jnp.ndarray, d: jnp.ndarray, t_min) -> Hit:
         ptr = jnp.where(active, nxt, ptr)
         return ptr, t_best, best_tri
 
-    ptr0 = jnp.zeros(N, jnp.int32)
+    if active is None:
+        ptr0 = jnp.zeros(N, jnp.int32)
+    else:
+        ptr0 = jnp.where(active, 0, M).astype(jnp.int32)
     t0 = jnp.full(N, INF, o.dtype)
     tri0 = jnp.zeros(N, jnp.int32)
     _, t_best, best_tri = jax.lax.while_loop(cond, body, (ptr0, t0, tri0))

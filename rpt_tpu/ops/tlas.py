@@ -242,7 +242,9 @@ def _safe_inv(d):
     return 1.0 / d_safe
 
 
-def instanced_closest_hit(im: InstancedMeshes, o: jnp.ndarray, d: jnp.ndarray, t_min) -> Hit:
+def instanced_closest_hit(
+    im: InstancedMeshes, o: jnp.ndarray, d: jnp.ndarray, t_min, active=None
+) -> Hit:
     """Closest hit of N rays against every mesh instance.
 
     One while_loop; per iteration each ray takes either a TLAS step (world
@@ -320,9 +322,14 @@ def instanced_closest_hit(im: InstancedMeshes, o: jnp.ndarray, d: jnp.ndarray, t
         return (in_blas, tptr, bptr, bend, inst, o_l, d_l, inv_dl, t_best, best_tri, best_inst)
 
     zeros_i = jnp.zeros(N, jnp.int32)
+    if active is None:
+        tptr0 = zeros_i
+    else:
+        # Inactive lanes park at the TLAS sentinel: no lockstep iterations.
+        tptr0 = jnp.where(active, 0, Mt).astype(jnp.int32)
     state0 = (
         jnp.zeros(N, bool),
-        zeros_i,
+        tptr0,
         zeros_i,
         zeros_i,
         zeros_i,

@@ -182,9 +182,16 @@ class SceneData:
         """
         return jax.tree_util.tree_map(jnp.asarray, self)
 
-    def intersect(self, o: jnp.ndarray, d: jnp.ndarray, t_min) -> ops.Hit:
+    def intersect(self, o: jnp.ndarray, d: jnp.ndarray, t_min, active=None) -> ops.Hit:
         """Closest hit of N rays against the whole scene
-        (parity: renderer.rs:206-221 linear scan with running min)."""
+        (parity: renderer.rs:206-221 linear scan with running min).
+
+        `active` (bool (N,), optional): lanes that actually need a hit.
+        Inactive lanes park immediately in the BVH/TLAS while_loops so they
+        never extend the lockstep iteration count; their returned Hit is a
+        miss (t=INF). Brute-force primitive batches ignore the mask (SIMD
+        lanes cost the same either way).
+        """
         self = self.to_device()
         hit = ops.no_hit(o.shape[0], o.dtype)
         if self.spheres is not None:
@@ -238,9 +245,17 @@ class SceneData:
                 ),
             )
         if self.bvh is not None:
-            hit = ops.merge_hits(hit, bvh_closest_hit(self.bvh, o, d, t_min))
+            hit = ops.merge_hits(hit, bvh_closest_hit(self.bvh, o, d, t_min, active=active))
         if self.instanced is not None:
-            hit = ops.merge_hits(hit, instanced_closest_hit(self.instanced, o, d, t_min))
+            hit = ops.merge_hits(
+                hit, instanced_closest_hit(self.instanced, o, d, t_min, active=active)
+            )
+        if active is not None:
+            hit = ops.Hit(
+                t=jnp.where(active, hit.t, ops.INF),
+                normal=hit.normal,
+                mat_id=hit.mat_id,
+            )
         return hit
 
 

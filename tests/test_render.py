@@ -188,3 +188,45 @@ class TestBufferStats:
         np.testing.assert_allclose(img[1, 1], 1.0, rtol=1e-5)
         # Corner window has 4 pixels, one of which is the spike
         np.testing.assert_allclose(img[0, 0], 9.0 / 4.0, rtol=1e-5)
+
+
+class TestActiveLaneMasking:
+    """The active-lane parking / dead-depth skipping in trace_paths must be
+    estimator-identical to tracing every lane naively (the masked lanes only
+    ever multiply into the reverse fold with zero weights)."""
+
+    def test_subset_consistency_with_mixed_hit_miss(self):
+        import jax
+        from rpt_tpu.integrator import trace_paths
+
+        scene = sphere_scene()
+        scene.set_environment(Environment.from_color(hex_color(0x305080)))
+        data = scene.compile()
+
+        # Half the rays hit geometry, half point straight up (guaranteed miss
+        # at depth 0 -> dead lanes from depth 1 on).
+        n = 64
+        o_hit = jnp.tile(jnp.asarray([[0.0, 3.0, 4.0]], jnp.float32), (n, 1))
+        d_hit = jnp.tile(
+            jnp.asarray([[0.0, -0.55, -0.75]], jnp.float32), (n, 1)
+        )
+        d_hit = d_hit / jnp.linalg.norm(d_hit, axis=-1, keepdims=True)
+        o_miss = o_hit
+        d_miss = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), (n, 1))
+
+        o = jnp.concatenate([o_hit, o_miss])
+        d = jnp.concatenate([d_hit, d_miss])
+        key = jax.random.PRNGKey(3)
+
+        # Mixed batch: half the lanes die at depth 1.
+        mixed = trace_paths(data, o, d, key, max_bounces=3, t_min=1e-3)
+        assert np.isfinite(np.asarray(mixed)).all()
+
+        # The all-miss half traced alone (every lane dead after depth 0: the
+        # lax.cond skip branch actually runs) must agree with its slice of the
+        # mixed batch on the env color exactly.
+        env = np.asarray(hex_color(0x305080), np.float32)
+        np.testing.assert_allclose(np.asarray(mixed[n:]), np.tile(env, (n, 1)), rtol=1e-6)
+
+        all_miss = trace_paths(data, o_miss, d_miss, key, max_bounces=3, t_min=1e-3)
+        np.testing.assert_allclose(np.asarray(all_miss), np.tile(env, (n, 1)), rtol=1e-6)
