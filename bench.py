@@ -39,8 +39,8 @@ REFERENCE_RAYS_PER_SEC_ESTIMATE = 5.0e6
 WIDTH, HEIGHT = 960, 540
 MAX_BOUNCES = 2
 N_LIGHTS = 1
-WARMUP = 1
-PASSES = 5
+WARMUP = 2
+PASSES = 40
 
 TPU_ATTEMPTS = 3
 TPU_TIMEOUT_S = 420
@@ -60,7 +60,6 @@ def measure(platform: str) -> None:
     _log(f"[child] importing scene (platform={platform})")
     from examples.cornell import build_scene, make_camera
     from rpt_tpu import Renderer
-    from rpt_tpu.renderer import render_pass
 
     # CPU fallback: shrink the frame so compile+run stays in budget; rays/s is
     # a rate, so the metric stays comparable (if sadly small).
@@ -81,21 +80,21 @@ def measure(platform: str) -> None:
     )
     scene_data, t_min, ev_scale = renderer._pass_args()
     base = jax.random.PRNGKey(0)
+    from rpt_tpu.renderer import make_render_many_fn
 
-    def one_pass(i):
-        key = jax.random.fold_in(base, i)
-        return render_pass(
-            scene_data, camera, key, width, height, MAX_BOUNCES, t_min, ev_scale
+    fn = make_render_many_fn(scene_data, width, height, MAX_BOUNCES)
+
+    def run(start, n):
+        return jax.block_until_ready(
+            fn(camera, base, jnp.int32(start), jnp.int32(n), t_min, ev_scale)
         )
 
     _log("[child] warmup/compile")
-    for i in range(WARMUP):
-        one_pass(i).block_until_ready()
+    run(0, WARMUP)
     _log("[child] warm; timing")
 
     t0 = time.perf_counter()
-    frames = [one_pass(WARMUP + i) for i in range(passes)]
-    jax.block_until_ready(frames)
+    run(WARMUP, passes)
     dt = time.perf_counter() - t0
     _log(f"[child] done: {dt:.2f}s for {passes} passes")
 

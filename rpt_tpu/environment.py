@@ -4,7 +4,8 @@ TPU-native counterpart of /root/reference/src/environment.rs. The HDRI lookup
 is a batched gather + bilinear blend over the whole miss-ray wavefront at once
 (environment.rs:25-52). One intentional fix vs. the reference: the reference
 indexes `x0 + 1` without clamping, which wraps into the next image row at the
-seam (environment.rs:40-52); we clamp to the last column instead.
+seam (environment.rs:40-52); we wrap azimuthally (`(x0 + 1) % w`), the correct
+equirectangular behavior — no seam column, no row bleed.
 """
 
 from __future__ import annotations
@@ -58,7 +59,7 @@ class Environment:
         y = polar / jnp.pi * (h - 1)
         x0 = jnp.clip(x.astype(jnp.int32), 0, w - 1)
         y0 = jnp.clip(y.astype(jnp.int32), 0, h - 1)
-        x1 = jnp.minimum(x0 + 1, w - 1)
+        x1 = jnp.mod(x0 + 1, w)
         y1 = jnp.minimum(y0 + 1, h - 1)
         ax = (x - x0)[..., None]
         ay = (y - y0)[..., None]

@@ -38,12 +38,6 @@ FIREFLY_CLAMP = 100.0
 _PDF_EPS = 1e-10
 
 
-def _no_hit_like(o: jnp.ndarray):
-    from .ops.intersect import no_hit
-
-    return no_hit(o.shape[0], o.dtype)
-
-
 def sample_lights(scene, mat, pos, n, wo, key, t_min, found) -> jnp.ndarray:
     """Next-event estimation against every light (renderer.rs:177-204).
 
@@ -100,14 +94,11 @@ def trace_paths(
             hit = scene.intersect(o, d, t_min)
         else:
             # Dead lanes (missed / invalid sample at a previous depth) park
-            # inside the traversal loops; if EVERY lane is dead, skip the
-            # whole depth's intersection+NEE work with a real runtime branch.
-            hit = jax.lax.cond(
-                jnp.any(active),
-                lambda o, d, active: scene.intersect(o, d, t_min, active=active),
-                lambda o, d, active: _no_hit_like(o),
-                o, d, active,
-            )
+            # inside the BVH/TLAS traversal loops via the active mask. (A
+            # lax.cond skipping whole depths was tried and reverted: on TPU
+            # `conditional` breaks fusion and forces operand copies, costing
+            # far more than it saves in the common some-lanes-alive case.)
+            hit = scene.intersect(o, d, t_min, active=active)
         found = hit.valid
         env = scene.environment.get_color(d)
 
@@ -117,19 +108,9 @@ def trace_paths(
         mat = scene.materials.gather(hit.mat_id)
 
         emitted = mat.emittance[:, None] * mat.color
-        if depth == 0:
-            direct = sample_lights(
-                scene, mat, pos, hit.normal, wo, k_lights, t_min, found
-            )
-        else:
-            direct = jax.lax.cond(
-                jnp.any(found),
-                lambda mat, pos, n, wo, found: sample_lights(
-                    scene, mat, pos, n, wo, k_lights, t_min, found
-                ),
-                lambda mat, pos, n, wo, found: jnp.zeros_like(pos),
-                mat, pos, hit.normal, wo, found,
-            )
+        direct = sample_lights(
+            scene, mat, pos, hit.normal, wo, k_lights, t_min, found
+        )
         local = jnp.where(found[:, None], emitted + direct, env)
         locals_per_depth.append(local)
 

@@ -217,9 +217,11 @@ class CubeLightData:
             ],
             axis=0,
         )
-        idx = face[None, ..., None]
-        v_local = jnp.take_along_axis(vs, jnp.broadcast_to(idx, (1,) + shape + (3,)), 0)[0]
-        n_local = jnp.take_along_axis(ns, jnp.broadcast_to(idx, (1,) + shape + (3,)), 0)[0]
+        # One-hot select over the 6 faces (mask + reduce, no TPU gather)
+        oh = jax.nn.one_hot(face, 6, dtype=pos.dtype)  # (..., 6)
+        oh_f = jnp.moveaxis(oh, -1, 0)[..., None]  # (6, ..., 1)
+        v_local = jnp.sum(vs * oh_f, axis=0)
+        n_local = jnp.sum(ns * oh_f, axis=0)
         pdf = jnp.full(shape, 1.0 / 6.0, pos.dtype)
         v, nrm, pdf = _transform_sample(
             self.l2w_lin, self.l2w_trans, self.nmat, self.det, v_local, n_local, pdf
@@ -248,8 +250,10 @@ class MeshLightData:
         uv = uniform_triangle_barycentric(k2, shape)
         u, v_ = uv[..., 0], uv[..., 1]
         w = 1.0 - u - v_
-        tv = self.verts[tri]  # (..., 3, 3)
-        tn = self.norms[tri]
+        # One-hot matmul instead of per-ray gather (light meshes are small)
+        oh = jax.nn.one_hot(tri, num, dtype=pos.dtype)  # (..., T)
+        tv = jnp.einsum("...t,tkj->...kj", oh, self.verts)  # (..., 3, 3)
+        tn = jnp.einsum("...t,tkj->...kj", oh, self.norms)
         point = (
             u[..., None] * tv[..., 0, :]
             + v_[..., None] * tv[..., 1, :]
@@ -260,5 +264,5 @@ class MeshLightData:
             + v_[..., None] * tn[..., 1, :]
             + w[..., None] * tn[..., 2, :]
         )
-        pdf = 1.0 / (jnp.maximum(self.areas[tri], 1e-20) * num)
+        pdf = 1.0 / (jnp.maximum(oh @ self.areas, 1e-20) * num)
         return _object_light_intensity(point, nrm, pdf, self.emitted, pos)

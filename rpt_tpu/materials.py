@@ -142,15 +142,30 @@ class MaterialTable:
         )
 
     def gather(self, ids: jnp.ndarray) -> MatParams:
-        # jnp.asarray is a no-op for device arrays and lifts host numpy
-        # tables into traced constants, so gathers work under jit either way.
+        # One-hot matmul instead of an HBM gather: per-ray gathers cost ~10 ms
+        # at 500k rays on TPU, while a (N, M) x (M, 8) matmul rides the MXU.
+        # jnp.asarray lifts host numpy tables into traced constants.
+        color = jnp.asarray(self.color)
+        scalars = jnp.stack(
+            [
+                jnp.asarray(self.index),
+                jnp.asarray(self.roughness),
+                jnp.asarray(self.metallic),
+                jnp.asarray(self.emittance),
+                jnp.asarray(self.transparent),
+            ],
+            axis=1,
+        )  # (M, 5)
+        onehot = jax.nn.one_hot(ids, color.shape[0], dtype=color.dtype)  # (..., M)
+        c = onehot @ color  # (..., 3)
+        s = onehot @ scalars  # (..., 5)
         return MatParams(
-            color=jnp.asarray(self.color)[ids],
-            index=jnp.asarray(self.index)[ids],
-            roughness=jnp.asarray(self.roughness)[ids],
-            metallic=jnp.asarray(self.metallic)[ids],
-            emittance=jnp.asarray(self.emittance)[ids],
-            transparent=jnp.asarray(self.transparent)[ids],
+            color=c,
+            index=s[..., 0],
+            roughness=s[..., 1],
+            metallic=s[..., 2],
+            emittance=s[..., 3],
+            transparent=s[..., 4],
         )
 
 

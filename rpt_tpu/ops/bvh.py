@@ -15,8 +15,10 @@ hostile to a vector machine. Here:
 - Triangle hit tests use the same plane + barycentric formulation as
   mesh.rs:49-82, so hit records agree with the brute-force path bit-for-bit.
 
-This is the pure-XLA traversal; a Pallas kernel with VMEM-resident nodes is
-layered on top for the hot path (see rpt_tpu/ops/bvh_pallas.py).
+Triangles are permuted at build time so each leaf's triangles are CONTIGUOUS:
+the XLA path indexes them through `leaf_tris` gathers, while the Pallas packet
+kernel (rpt_tpu/ops/bvh_pallas.py) loads a whole leaf as one dense (8, K)
+vector read from VMEM — no per-lane gather, which TPUs do not have.
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ import jax.numpy as jnp
 from ..utils.vmath import dot, normalize
 from .intersect import Hit, INF
 
-__all__ = ["BvhData", "build_bvh", "bvh_closest_hit"]
+__all__ = ["BvhData", "build_bvh", "bvh_closest_hit", "finalize_hit"]
 
 LEAF_SIZE = 8
 
@@ -44,13 +46,19 @@ class BvhData:
     is_leaf: jnp.ndarray  # (M,) int32 {0,1}
     skip: jnp.ndarray  # (M,) int32: next node on bbox miss / after leaf
     leaf_tris: jnp.ndarray  # (M, LEAF_SIZE) int32 triangle ids, -1 padded
-    verts: jnp.ndarray  # (T, 3, 3) world space
+    leaf_start: jnp.ndarray  # (M,) int32 first triangle of leaf (0 internal)
+    leaf_count: jnp.ndarray  # (M,) int32 triangles in leaf (0 internal)
+    verts: jnp.ndarray  # (T, 3, 3) world space, leaf-contiguous order
     norms: jnp.ndarray  # (T, 3, 3)
     mat_id: jnp.ndarray  # (T,)
 
     @property
     def num_nodes(self) -> int:
         return self.node_min.shape[0]
+
+    @property
+    def num_tris(self) -> int:
+        return self.verts.shape[0]
 
 
 def build_bvh(verts: np.ndarray, norms: np.ndarray, mats: np.ndarray, dtype=jnp.float32) -> BvhData:
@@ -111,10 +119,29 @@ def build_bvh(verts: np.ndarray, norms: np.ndarray, mats: np.ndarray, dtype=jnp.
     sys.setrecursionlimit(max(sys.getrecursionlimit(), 10000))
     compute_end(0)
 
+    # Permute triangles so every leaf's triangles are contiguous AND 8-row
+    # aligned (each leaf padded to LEAF_SIZE by repeating its first triangle,
+    # masked out by leaf_count). The Pallas kernel then loads a leaf with one
+    # aligned dense (LEAF_SIZE, K) vector read.
+    perm_parts = []
+    leaf_start = np.zeros(M, np.int32)
+    leaf_count = np.zeros(M, np.int32)
     leaf_tris = np.full((M, LEAF_SIZE), -1, np.int32)
+    off = 0
     for nid, lst in enumerate(leaf_lists):
         if lst is not None:
-            leaf_tris[nid, : lst.shape[0]] = lst
+            c = lst.shape[0]
+            perm_parts.append(lst)
+            if c < LEAF_SIZE:
+                perm_parts.append(np.repeat(lst[:1], LEAF_SIZE - c))
+            leaf_start[nid] = off
+            leaf_count[nid] = c
+            leaf_tris[nid, :c] = np.arange(off, off + c, dtype=np.int32)
+            off += LEAF_SIZE
+    perm = np.concatenate(perm_parts) if perm_parts else np.zeros(0, np.int64)
+    verts = np.asarray(verts)[perm]
+    norms = np.asarray(norms)[perm]
+    mats = np.asarray(mats)[perm]
 
     # Host numpy arrays: embedded as jit constants via SceneData.to_device()
     # (one transfer with the program, not per-array device puts).
@@ -125,9 +152,11 @@ def build_bvh(verts: np.ndarray, norms: np.ndarray, mats: np.ndarray, dtype=jnp.
         is_leaf=np.asarray(is_leaf, np.int32),
         skip=np.asarray(subtree_end, np.int32),
         leaf_tris=leaf_tris,
-        verts=np.asarray(verts, np_dtype),
-        norms=np.asarray(norms, np_dtype),
-        mat_id=np.asarray(mats, np.int32),
+        leaf_start=leaf_start,
+        leaf_count=leaf_count,
+        verts=verts.astype(np_dtype),
+        norms=norms.astype(np_dtype),
+        mat_id=mats.astype(np.int32),
     )
 
 
@@ -228,8 +257,13 @@ def bvh_closest_hit(bvh: BvhData, o: jnp.ndarray, d: jnp.ndarray, t_min, active=
     tri0 = jnp.zeros(N, jnp.int32)
     _, t_best, best_tri = jax.lax.while_loop(cond, body, (ptr0, t0, tri0))
 
-    # Recompute barycentrics once for the winning triangle to get the
-    # smooth-interpolated normal (mesh.rs:77).
+    return finalize_hit(bvh, o, d, t_min, t_best, best_tri)
+
+
+def finalize_hit(bvh: BvhData, o, d, t_min, t_best, best_tri) -> Hit:
+    """Recompute barycentrics once for the winning triangle to get the
+    smooth-interpolated normal (mesh.rs:77). Shared by the XLA and Pallas
+    traversals — both return only (t, triangle id) from the hot loop."""
     tv = bvh.verts[best_tri]  # (N,3,3)
     t_fin, (u, v, w) = _tri_hit_t(o, d, tv[:, 0], tv[:, 1], tv[:, 2], t_min)
     tn = bvh.norms[best_tri]

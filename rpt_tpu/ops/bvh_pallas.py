@@ -1,0 +1,298 @@
+"""Pallas TPU kernel: packet BVH traversal + batch triangle intersection.
+
+This is the TPU-native replacement for the reference's hottest code — the
+recursive kd-tree walk at /root/reference/src/kdtree.rs:151-223 feeding the
+per-triangle test at /root/reference/src/shape/mesh.rs:49-82. A scalar CPU
+chases one pointer per ray; a TPU has no per-lane gather, so per-ray pointer
+chasing (the pure-XLA fallback in rpt_tpu/ops/bvh.py) pays an HBM gather per
+ray per node. Here we traverse in *packets*:
+
+- 128 rays ride the 128 VPU lanes; ONE scalar node pointer per packet walks
+  the skip-link preorder in a `lax.while_loop` on the scalar core.
+- The packet descends into a node iff ANY live lane's slab test passes
+  (per-lane running-best prune `lo <= t_best` included) — the classic packet
+  traversal, and the vector analog of the reference's early-exit recursion.
+- Node bounds and skip/leaf metadata live in SMEM (scalar-indexed loads are
+  the scalar core's bread and butter); triangles live in VMEM, PRE-SWIZZLED
+  host-side into 24-float rows [v0, e1, e2, pn, pn.v0, d00, d01, d11,
+  inv_denom, pad...] so one leaf = one dense (8, 24) vector load.
+- A leaf is tested as triangles-on-sublanes x rays-on-lanes: one (8, 128)
+  elementwise pipeline intersects 8 triangles against 128 rays per VPU op,
+  then a cross-sublane min picks each lane's best. This is the same plane +
+  barycentric formulation as `_tri_hit_t`, so hits agree with the XLA path
+  bit-for-bit (up to fused-op rounding).
+
+The kernel returns only (t_best, triangle id); the smooth-normal
+reconstruction is shared with the XLA path (`bvh.finalize_hit`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import Hit, INF
+from .bvh import BvhData, finalize_hit
+
+__all__ = ["bvh_closest_hit_pallas", "pack_bvh_for_pallas", "pallas_eligible"]
+
+LANES = 128  # rays per packet
+KMAX = 8  # triangles per leaf (= bvh.LEAF_SIZE)
+TRI_ROW = 24  # padded float32s per pre-swizzled triangle row
+_BIG = 3.0e38  # in-kernel miss sentinel (avoid inf arithmetic)
+
+# Budget caps for the single-kernel layout: triangles stay VMEM-resident
+# (~96 B/tri swizzled) and node metadata lives in SMEM (~48 B/node). Larger
+# meshes take the XLA while_loop path instead.
+MAX_TRIS = 120_000
+MAX_NODES = 40_000
+
+
+def pallas_eligible(bvh: BvhData) -> bool:
+    return bvh.num_tris <= MAX_TRIS and bvh.num_nodes <= MAX_NODES
+
+
+def pack_bvh_for_pallas(bvh: BvhData):
+    """Host-side swizzle of a built BVH into the kernel's memory layout.
+
+    Returns (bounds, meta, tri_pack) as numpy arrays:
+      bounds  (M, 8) f32   [min.xyz, max.xyz, 0, 0]            -> SMEM
+      meta    (M, 4) i32   [skip, leaf_start, leaf_count, 0]   -> SMEM
+      tri_pack(Tp,24) f32  swizzled triangle rows (8-row pad)  -> VMEM
+    """
+    node_min = np.asarray(bvh.node_min, np.float32)
+    node_max = np.asarray(bvh.node_max, np.float32)
+    M = node_min.shape[0]
+    bounds = np.zeros((M, 8), np.float32)
+    bounds[:, 0:3] = node_min
+    bounds[:, 3:6] = node_max
+    meta = np.zeros((M, 4), np.int32)
+    meta[:, 0] = np.asarray(bvh.skip, np.int32)
+    meta[:, 1] = np.asarray(bvh.leaf_start, np.int32)
+    meta[:, 2] = np.asarray(bvh.leaf_count, np.int32)
+
+    v = np.asarray(bvh.verts, np.float64)  # (T,3,3) leaf-contiguous
+    T = v.shape[0]
+    v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pn = np.cross(e1, e2)
+    nrm = np.linalg.norm(pn, axis=-1, keepdims=True)
+    pn = pn / np.where(nrm > 1e-30, nrm, 1.0)
+    d00 = np.einsum("ij,ij->i", e1, e1)
+    d01 = np.einsum("ij,ij->i", e1, e2)
+    d11 = np.einsum("ij,ij->i", e2, e2)
+    denom = d00 * d11 - d01 * d01
+    inv_denom = 1.0 / np.where(np.abs(denom) > 1e-20, denom, 1e-20)
+    pv = np.einsum("ij,ij->i", pn, v0)
+
+    Tp = T + KMAX  # pad so a full leaf at the end loads in-bounds
+    tri = np.zeros((Tp, TRI_ROW), np.float32)
+    tri[:T, 0:3] = v0
+    tri[:T, 3:6] = e1
+    tri[:T, 6:9] = e2
+    tri[:T, 9:12] = pn
+    tri[:T, 12] = pv
+    tri[:T, 13] = d00
+    tri[:T, 14] = d01
+    tri[:T, 15] = d11
+    tri[:T, 16] = inv_denom
+    return bounds, meta, tri
+
+
+def _kernel(meta_ref, bounds_ref, tmin_ref, rays_ref, tri_ref, t_ref, id_ref):
+    """One packet: 128 rays vs. the whole BVH."""
+    M = meta_ref.shape[0]
+    r = rays_ref[0]  # (8, 128): ox oy oz dx dy dz active pad
+    ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
+    dx, dy, dz = r[3:4, :], r[4:5, :], r[5:6, :]
+    act = r[6:7, :] > 0.5
+    t_min = tmin_ref[0]
+
+    def safe_inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) > 1e-20, c, jnp.where(c < 0.0, -1e-20, 1e-20))
+
+    ivx, ivy, ivz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    row_k = jax.lax.broadcasted_iota(jnp.int32, (KMAX, LANES), 0)
+
+    def cond(state):
+        ptr, _, _ = state
+        return ptr < M
+
+    def body(state):
+        ptr, t_best, best_id = state
+        skip = meta_ref[ptr, 0]
+        start = meta_ref[ptr, 1]
+        count = meta_ref[ptr, 2]
+
+        # Slab test on (1, 128): node bounds are packet-uniform scalars.
+        t1x = (bounds_ref[ptr, 0] - ox) * ivx
+        t2x = (bounds_ref[ptr, 3] - ox) * ivx
+        t1y = (bounds_ref[ptr, 1] - oy) * ivy
+        t2y = (bounds_ref[ptr, 4] - oy) * ivy
+        t1z = (bounds_ref[ptr, 2] - oz) * ivz
+        t2z = (bounds_ref[ptr, 5] - oz) * ivz
+        lo = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        hi = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        box_hit = (lo <= hi) & (hi >= t_min) & (lo <= t_best) & act
+        hit_any = jnp.any(box_hit)
+        is_leaf = count > 0
+
+        def do_leaf(args):
+            t_best, best_id = args
+            tri = tri_ref[pl.ds(start, KMAX), :]  # (8, 24)
+            v0x, v0y, v0z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+            e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
+            e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
+            pnx, pny, pnz = tri[:, 9:10], tri[:, 10:11], tri[:, 11:12]
+            pv = tri[:, 12:13]
+            d00, d01, d11 = tri[:, 13:14], tri[:, 14:15], tri[:, 15:16]
+            inv_den = tri[:, 16:17]
+
+            # (8,1) x (1,128) -> (8,128): 8 triangles vs 128 rays per op.
+            cos = pnx * dx + pny * dy + pnz * dz
+            cos_safe = jnp.where(jnp.abs(cos) > 1e-8, cos, 1e-8)
+            t = (pv - (pnx * ox + pny * oy + pnz * oz)) / cos_safe
+            ddx = ox + t * dx - v0x
+            ddy = oy + t * dy - v0y
+            ddz = oz + t * dz - v0z
+            d20 = ddx * e1x + ddy * e1y + ddz * e1z
+            d21 = ddx * e2x + ddy * e2y + ddz * e2z
+            v = (d11 * d20 - d01 * d21) * inv_den
+            w = (d00 * d21 - d01 * d20) * inv_den
+            u = 1.0 - v - w
+            ok = (
+                (jnp.abs(cos) >= 1e-8)
+                & (t >= t_min)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (w >= 0.0)
+                & (row_k < count)
+            )
+            th = jnp.where(ok, t, _BIG)  # (8,128)
+            t_leaf = jnp.min(th, axis=0, keepdims=True)  # (1,128)
+            k_best = jnp.min(
+                jnp.where(th == t_leaf, row_k, KMAX), axis=0, keepdims=True
+            )
+            better = t_leaf < t_best
+            best_id = jnp.where(better, start + k_best, best_id)
+            t_best = jnp.minimum(t_best, t_leaf)
+            return t_best, best_id
+
+        t_best, best_id = jax.lax.cond(
+            hit_any & is_leaf, do_leaf, lambda a: a, (t_best, best_id)
+        )
+        ptr = jnp.where(hit_any & (~is_leaf), ptr + 1, skip)
+        return ptr, t_best, best_id
+
+    _, t_best, best_id = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.int32(0),
+            jnp.full((1, LANES), _BIG, jnp.float32),
+            jnp.zeros((1, LANES), jnp.int32),
+        ),
+    )
+    t_ref[0] = t_best
+    id_ref[0] = best_id
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _traverse(bounds, meta, tri_pack, rays, t_min, *, interpret=False):
+    G = rays.shape[0]
+    M = meta.shape[0]
+    t_min_arr = jnp.reshape(t_min.astype(jnp.float32), (1,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta (M,4)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds (M,8)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # t_min (1,)
+            pl.BlockSpec(
+                (1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),  # rays
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_pack (Tp,24), resident
+        ],
+        out_specs=[
+            # (G, 1, 128) with a (1, 1, 128) block: Mosaic requires the last
+            # two block dims to divide (8, 128) or equal the array dims.
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    t_out, id_out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G, 1, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((G, 1, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, bounds, t_min_arr, rays, tri_pack)
+    return t_out, id_out
+
+
+def bvh_closest_hit_pallas(
+    bvh: BvhData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_min,
+    active=None,
+    packed=None,
+    interpret: bool = False,
+) -> Hit:
+    """Closest hit of N rays via the Pallas packet kernel.
+
+    Drop-in replacement for `bvh_closest_hit` (same Hit contract: t=inf on
+    miss, smooth-interpolated world normal, material id). `packed` may carry
+    the result of `pack_bvh_for_pallas` to avoid re-tracing the swizzle.
+    """
+    if packed is None:
+        packed = pack_bvh_for_pallas(bvh)
+    bounds, meta, tri_pack = (jnp.asarray(a) for a in packed)
+    bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
+
+    N = o.shape[0]
+    G = -(-N // LANES)
+    pad = G * LANES - N
+    o32 = o.astype(jnp.float32)
+    d32 = d.astype(jnp.float32)
+    if active is None:
+        act = jnp.ones((N,), jnp.float32)
+    else:
+        act = active.astype(jnp.float32)
+    comp = jnp.stack(
+        [o32[:, 0], o32[:, 1], o32[:, 2], d32[:, 0], d32[:, 1], d32[:, 2], act,
+         jnp.zeros((N,), jnp.float32)],
+        axis=0,
+    )  # (8, N)
+    if pad:
+        comp = jnp.pad(comp, ((0, 0), (0, pad)))
+    rays = comp.reshape(8, G, LANES).transpose(1, 0, 2)  # (G, 8, 128)
+
+    t_out, id_out = _traverse(
+        bounds, meta, tri_pack, rays, jnp.asarray(t_min), interpret=interpret
+    )
+    t_best = t_out.reshape(-1)[:N].astype(o.dtype)
+    best_tri = id_out.reshape(-1)[:N]
+    t_best = jnp.where(t_best >= 1.0e38, INF, t_best)
+    if active is not None:
+        # Inactive lanes ride the packet through leaves opened by live lanes;
+        # report them as misses to match the XLA path's parked-lane contract.
+        t_best = jnp.where(active, t_best, INF)
+    # Padded dummy triangle rows are all-zero; clamp ids for the final gather.
+    best_tri = jnp.clip(best_tri, 0, bvh.num_tris - 1)
+    return finalize_hit(bvh, o, d, t_min, t_best, best_tri)

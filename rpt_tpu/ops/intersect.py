@@ -95,12 +95,29 @@ def _world_normal(nmat, n_local):
     return normalize(jnp.einsum("...ij,...j->...i", nmat, n_local))
 
 
-def _reduce_pairs(t_pairs, t_min):
-    """Select the closest valid pair hit per ray. t_pairs: (N, P)."""
+def _winner(t_pairs, t_min):
+    """Closest valid hit per ray, TPU-gather-free.
+
+    t_pairs: (N, P). Returns (t_best (N,), sel (N, P) bool one-hot of the
+    winning primitive, sel_f float one-hot). Per-ray gathers (argmin +
+    take_along_axis) are pathological on TPU — each lowers to an HBM gather
+    taking ~10 ms at 500k rays — so winner attributes are instead selected by
+    masked reductions over P (`_sel`) and per-primitive constants by a
+    (N, P) x (P, k) matmul on the MXU (`einsum` with sel_f).
+    """
     t_pairs = jnp.where(t_pairs >= t_min, t_pairs, INF)
     best = jnp.argmin(t_pairs, axis=1)
-    t_best = jnp.take_along_axis(t_pairs, best[:, None], axis=1)[:, 0]
-    return t_best, best
+    sel = jnp.arange(t_pairs.shape[1])[None, :] == best[:, None]
+    t_best = jnp.min(t_pairs, axis=1)
+    return t_best, sel, sel.astype(t_pairs.dtype)
+
+
+def _sel(sel, x):
+    """Select the winning primitive's value: x (N, P) or (N, P, 3) with bool
+    one-hot sel (N, P) -> (N,) / (N, 3). Pure mask + reduce, no gather."""
+    if x.ndim == sel.ndim + 1:
+        sel = sel[..., None]
+    return jnp.sum(jnp.where(sel, x, jnp.zeros((), x.dtype)), axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -122,15 +139,15 @@ def intersect_spheres(o, d, t_min, inv_tf, nmat, mat_ids) -> Hit:
     t = jnp.where(t_minus >= t_min, t_minus, t_plus)
     t = jnp.where(ok & (t >= t_min), t, INF)
 
-    t_best, best = _reduce_pairs(t, t_min)
-    idx = jnp.arange(o.shape[0])
+    t_best, sel, sel_f = _winner(t, t_min)
     # Missed rays have t = inf; evaluate the normal at t=0 there so no
     # NaN/inf enters residuals (the hit is masked out downstream, but NaNs
     # would still poison reverse-mode gradients through the masks).
     t_eval = jnp.where(jnp.isfinite(t_best), t_best, 0.0)
-    p_local = o_l[idx, best] + t_eval[:, None] * d_l[idx, best]
-    n_world = _world_normal(nmat[best], normalize(p_local))
-    return Hit(t=t_best, normal=n_world, mat_id=mat_ids[best])
+    p_local = _sel(sel, o_l) + t_eval[:, None] * _sel(sel, d_l)
+    nmat_w = jnp.einsum("np,pij->nij", sel_f, nmat)
+    n_world = _world_normal(nmat_w, normalize(p_local))
+    return Hit(t=t_best, normal=n_world, mat_id=_sel(sel, jnp.broadcast_to(mat_ids[None, :], t.shape)))
 
 
 # ---------------------------------------------------------------------------
@@ -145,12 +162,11 @@ def intersect_planes(o, d, t_min, normals, values, mat_ids) -> Hit:
     ok = (jnp.abs(cos) >= _PAR_EPS) & (t >= t_min)
     t = jnp.where(ok, t, INF)
 
-    t_best, best = _reduce_pairs(t, t_min)
-    idx = jnp.arange(o.shape[0])
+    t_best, sel, sel_f = _winner(t, t_min)
     # Normal flipped toward the ray (plane.rs:27)
-    n = normalize(normals[best])
-    n_world = -n * jnp.sign(cos[idx, best])[:, None]
-    return Hit(t=t_best, normal=n_world, mat_id=mat_ids[best])
+    n = normalize(jnp.einsum("np,pj->nj", sel_f, normals))
+    n_world = -n * jnp.sign(_sel(sel, cos))[:, None]
+    return Hit(t=t_best, normal=n_world, mat_id=_sel(sel, jnp.broadcast_to(mat_ids[None, :], t.shape)))
 
 
 # ---------------------------------------------------------------------------
@@ -177,15 +193,19 @@ def intersect_cubes(o, d, t_min, inv_tf, nmat, mat_ids) -> Hit:
     t = jnp.where(use_end, end, start)
     t = jnp.where(miss | (t < t_min), INF, t)
 
-    t_best, best = _reduce_pairs(t, t_min)
-    idx = jnp.arange(o.shape[0])
-    axis = jnp.where(use_end[idx, best], end_axis[idx, best], start_axis[idx, best])
-    d_axis = d_l[idx, best, :][jnp.arange(o.shape[0]), axis]
+    t_best, sel, sel_f = _winner(t, t_min)
+    axis_p = jnp.where(use_end, end_axis, start_axis)  # (N,P)
+    axis = _sel(sel, axis_p)
+    use_end_b = jnp.any(sel & use_end, axis=1)
+    d_sel = _sel(sel, d_l)  # (N,3)
+    axis_oh = jax.nn.one_hot(axis, 3, dtype=o.dtype)
+    d_axis = jnp.sum(axis_oh * d_sel, axis=-1)
     # Entry face normal points against the ray, exit face along it
-    sign = jnp.where(use_end[idx, best], jnp.sign(d_axis), -jnp.sign(d_axis))
-    n_local = jax.nn.one_hot(axis, 3, dtype=o.dtype) * sign[:, None]
-    n_world = _world_normal(nmat[best], n_local)
-    return Hit(t=t_best, normal=n_world, mat_id=mat_ids[best])
+    sign = jnp.where(use_end_b, jnp.sign(d_axis), -jnp.sign(d_axis))
+    n_local = axis_oh * sign[:, None]
+    nmat_w = jnp.einsum("np,pij->nij", sel_f, nmat)
+    n_world = _world_normal(nmat_w, n_local)
+    return Hit(t=t_best, normal=n_world, mat_id=_sel(sel, jnp.broadcast_to(mat_ids[None, :], t.shape)))
 
 
 # ---------------------------------------------------------------------------
@@ -234,14 +254,17 @@ def intersect_triangles(o, d, t_min, verts, norms, mat_ids) -> Hit:
     v0, v1, v2 = verts[:, 0], verts[:, 1], verts[:, 2]
     t, (u, v, w) = triangles_hit_t(o, d, t_min, v0, v1, v2)
 
-    t_best, best = _reduce_pairs(t, t_min)
-    idx = jnp.arange(o.shape[0])
-    ub, vb, wb = u[idx, best], v[idx, best], w[idx, best]
-    nb = norms[best]  # (N,3,3)
+    t_best, sel, sel_f = _winner(t, t_min)
+    ub, vb, wb = _sel(sel, u), _sel(sel, v), _sel(sel, w)
+    nb = jnp.einsum("nt,tkj->nkj", sel_f, norms)  # (N,3,3) via MXU
     n_interp = (
         ub[:, None] * nb[:, 0] + vb[:, None] * nb[:, 1] + wb[:, None] * nb[:, 2]
     )
-    return Hit(t=t_best, normal=normalize(n_interp), mat_id=mat_ids[best])
+    return Hit(
+        t=t_best,
+        normal=normalize(n_interp),
+        mat_id=_sel(sel, jnp.broadcast_to(mat_ids[None, :], t.shape)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -338,18 +361,18 @@ def intersect_monomials(o, d, t_min, inv_tf, nmat, heights, mat_ids) -> Hit:
     ok = gate & (~bad_bracket) & sign_change & in_disk & (r >= t_min)
     t = jnp.where(ok, r, INF)
 
-    t_best, best = _reduce_pairs(t, t_min)
-    idx = jnp.arange(o.shape[0])
-    px = pos_x[idx, best]
-    pz = pos_z[idx, best]
-    hb = heights[best]
+    t_best, sel, sel_f = _winner(t, t_min)
+    px = _sel(sel, pos_x)
+    pz = _sel(sel, pos_z)
+    hb = jnp.einsum("np,p->n", sel_f, heights)
     r2 = px * px + pz * pz
     n_local = normalize(
         jnp.stack([hb * 4.0 * px * r2, -jnp.ones_like(px), hb * 4.0 * pz * r2], -1)
     )
     # Two-sided: flip toward the ray (monomial_surface.rs:101-103)
-    d_best = d_l[idx, best]
+    d_best = _sel(sel, d_l)
     flip = dot(n_local, d_best) > 0.0
     n_local = jnp.where(flip[:, None], -n_local, n_local)
-    n_world = _world_normal(nmat[best], n_local)
-    return Hit(t=t_best, normal=n_world, mat_id=mat_ids[best])
+    nmat_w = jnp.einsum("np,pij->nij", sel_f, nmat)
+    n_world = _world_normal(nmat_w, n_local)
+    return Hit(t=t_best, normal=n_world, mat_id=_sel(sel, jnp.broadcast_to(mat_ids[None, :], t.shape)))

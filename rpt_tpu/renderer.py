@@ -71,6 +71,43 @@ def _render_pass_impl(scene_data, camera, key, width, height, max_bounces, t_min
 # per-primitive transforms. Scenes are code (scene.rs model): a new scene is
 # a new program.
 _PASS_CACHE: dict = {}
+_MANY_CACHE: dict = {}
+
+
+def make_render_many_fn(scene_data, width: int, height: int, max_bounces: int):
+    """Jitted (camera, base_key, start, n, t_min, ev_scale) -> (sum, sum_sq)
+    accumulating `n` samples per pixel ON DEVICE in one dispatch.
+
+    The per-sample Python loop costs two host round trips per sample — ~25 ms
+    each through the TPU relay — so `n` passes run inside a single
+    lax.fori_loop (dynamic bound: one compile serves every sample count).
+    Sample i uses fold_in(base_key, start+i), identical to the per-pass path,
+    so chunked and unchunked renders are bit-identical.
+    """
+    cache_key = (id(scene_data), width, height, max_bounces)
+    fn = _MANY_CACHE.get(cache_key)
+    if fn is None:
+        dtype = scene_data.materials.color.dtype
+
+        @jax.jit
+        def fn(camera, base_key, start, n, t_min, ev_scale):
+            def body(i, acc):
+                s, ss = acc
+                key = jax.random.fold_in(base_key, start + i)
+                frame = _render_pass_impl(
+                    scene_data, camera, key, width, height, max_bounces,
+                    t_min, ev_scale,
+                )
+                return (s + frame, ss + jnp.sum(frame * frame, axis=-1))
+
+            init = (
+                jnp.zeros((height, width, 3), dtype),
+                jnp.zeros((height, width), dtype),
+            )
+            return jax.lax.fori_loop(0, n, body, init)
+
+        _MANY_CACHE[cache_key] = fn
+    return fn
 
 
 def make_render_fn(scene_data, width: int, height: int, max_bounces: int):
@@ -170,23 +207,20 @@ class Renderer:
 
     def sample_into(self, buffer: Buffer, iterations: int, start_iter: int = 0) -> Buffer:
         """Add `iterations` samples per pixel to the buffer
-        (parity: Renderer::sample, renderer.rs:117-129)."""
+        (parity: Renderer::sample, renderer.rs:117-129). All iterations run
+        on device in one dispatch (see make_render_many_fn)."""
         scene_data, t_min, ev_scale = self._pass_args()
         base = jax.random.PRNGKey(self.seed)
-        for i in range(start_iter, start_iter + iterations):
-            key = jax.random.fold_in(base, i)
-            frame = render_pass(
-                scene_data,
-                self.camera,
-                key,
-                self.width,
-                self.height,
-                self.max_bounces,
-                t_min,
-                ev_scale,
-            )
-            buffer = _accumulate(buffer, frame)
-        return buffer
+        fn = make_render_many_fn(scene_data, self.width, self.height, self.max_bounces)
+        s, ss = fn(
+            self.camera, base, jnp.int32(start_iter), jnp.int32(iterations),
+            t_min, ev_scale,
+        )
+        return Buffer(
+            sum=buffer.sum + s,
+            sum_sq=buffer.sum_sq + ss,
+            count=buffer.count + iterations,
+        )
 
     def render_buffer(self) -> Buffer:
         buffer = Buffer.new(self.width, self.height, self.dtype)

@@ -37,6 +37,11 @@ from .lights import (
 from .materials import Material, MaterialTable
 from .ops import intersect as ops
 from .ops.bvh import BvhData, build_bvh, bvh_closest_hit
+from .ops.bvh_pallas import (
+    bvh_closest_hit_pallas,
+    pack_bvh_for_pallas,
+    pallas_eligible,
+)
 from .ops.tlas import InstancedMeshes, build_instanced, instanced_closest_hit
 from .shapes import (
     Cube,
@@ -106,7 +111,15 @@ class Scene:
         self.environment = env
 
     def compile(self, dtype=jnp.float32) -> "SceneData":
-        key = (dtype, len(self.objects), len(self.lights), id(self.environment))
+        # Structural key: replacing an Object (new shape id), swapping a
+        # Material (frozen dataclass, hashed by value) or any light all miss
+        # the cache; only a byte-identical scene re-uses the compiled data.
+        key = (
+            dtype,
+            tuple((id(o.shape), o.mat) for o in self.objects),
+            tuple(id(l) for l in self.lights),
+            id(self.environment),
+        )
         if self._compiled is not None and self._compiled[0] == key:
             return self._compiled[1]
         data = compile_scene(self, dtype)
@@ -167,6 +180,7 @@ class SceneData:
     monomials: Optional[MonomialArrays]
     triangles: Optional[TriangleArrays]  # small meshes, brute force
     bvh: Optional[BvhData]  # large meshes, BVH traversal
+    bvh_packed: Optional[tuple]  # Pallas packet-kernel layout of `bvh`
     instanced: Optional[InstancedMeshes]  # shared/instanced meshes, TLAS+BLAS
     lights: tuple  # static tuple of *LightData pytrees
     environment: Environment
@@ -245,7 +259,16 @@ class SceneData:
                 ),
             )
         if self.bvh is not None:
-            hit = ops.merge_hits(hit, bvh_closest_hit(self.bvh, o, d, t_min, active=active))
+            # The Pallas packet kernel runs the BVH walk on-chip with
+            # VMEM-resident triangles; falls back to the XLA while_loop off
+            # TPU or when the mesh exceeds the kernel's VMEM/SMEM budget.
+            if self.bvh_packed is not None and jax.default_backend() == "tpu":
+                bvh_hit = bvh_closest_hit_pallas(
+                    self.bvh, o, d, t_min, active=active, packed=self.bvh_packed
+                )
+            else:
+                bvh_hit = bvh_closest_hit(self.bvh, o, d, t_min, active=active)
+            hit = ops.merge_hits(hit, bvh_hit)
         if self.instanced is not None:
             hit = ops.merge_hits(
                 hit, instanced_closest_hit(self.instanced, o, d, t_min, active=active)
@@ -428,12 +451,15 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
 
     triangles = None
     bvh = None
+    bvh_packed = None
     if tri_verts:
         verts = np.concatenate(tri_verts)
         norms = np.concatenate(tri_norms)
         mats = np.concatenate(tri_mats)
         if verts.shape[0] >= BVH_THRESHOLD:
             bvh = build_bvh(verts, norms, mats, dtype)
+            if pallas_eligible(bvh):
+                bvh_packed = pack_bvh_for_pallas(bvh)
         else:
             triangles = TriangleArrays(
                 verts=verts.astype(np_dtype),
@@ -451,6 +477,7 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
         monomials=monomials,
         triangles=triangles,
         bvh=bvh,
+        bvh_packed=bvh_packed,
         instanced=instanced,
         lights=lights,
         environment=scene.environment,
