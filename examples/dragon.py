@@ -1,0 +1,147 @@
+"""Stanford dragon render (large-mesh workload).
+
+Parity with /root/reference/examples/dragon.rs (2 bounces, 1 spp, specular
+green mesh + two spherical area lights + ambient). The reference downloads
+dragon.zip (871k triangles) from casual-effects.com at runtime; this
+container has no network egress, so pass --obj for a local dragon mesh. With
+no mesh available, a procedural high-poly trefoil-knot stand-in (~120k
+triangles by default) exercises the same large-mesh BVH path with the same
+scene, lights and camera.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import math
+import time
+
+import numpy as np
+from PIL import Image
+
+from rpt_tpu import (
+    AmbientLight,
+    Camera,
+    Material,
+    Object,
+    ObjectLight,
+    Renderer,
+    Scene,
+    hex_color,
+    load_obj,
+    plane,
+    sphere,
+    triangle_mesh,
+)
+
+
+def trefoil_mesh(segments: int = 600, sides: int = 100, radius: float = 0.09):
+    """High-poly trefoil torus knot as a dragon stand-in: ~2*segments*sides
+    triangles, smooth normals, roughly unit scale centered at the origin."""
+    t = np.linspace(0.0, 2.0 * np.pi, segments, endpoint=False)
+    # Trefoil centerline
+    cx = np.sin(t) + 2.0 * np.sin(2.0 * t)
+    cy = np.cos(t) - 2.0 * np.cos(2.0 * t)
+    cz = -np.sin(3.0 * t)
+    # Scale so the knot spans ~0.7 units and rests near y=-0.29 like the
+    # dragon model does relative to the reference's floor plane at y=-1
+    # (dragon.rs scales by 3.4 on top of this).
+    c = np.stack([cx, cy, cz], -1) * 0.11
+    c[:, 1] += 0.04
+    # Frenet-ish frame
+    dt = np.roll(c, -1, 0) - np.roll(c, 1, 0)
+    tang = dt / np.linalg.norm(dt, axis=-1, keepdims=True)
+    ref = np.array([0.0, 0.0, 1.0])
+    n1 = np.cross(tang, ref)
+    n1 /= np.maximum(np.linalg.norm(n1, axis=-1, keepdims=True), 1e-12)
+    n2 = np.cross(tang, n1)
+
+    phi = np.linspace(0.0, 2.0 * np.pi, sides, endpoint=False)
+    ring = (
+        np.cos(phi)[None, :, None] * n1[:, None, :]
+        + np.sin(phi)[None, :, None] * n2[:, None, :]
+    )  # (S, K, 3) unit normals
+    pts = c[:, None, :] + radius * ring  # (S, K, 3)
+
+    S, K = segments, sides
+    idx = np.arange(S * K).reshape(S, K)
+    i_next = np.roll(idx, -1, axis=0)
+    j_next = np.roll(idx, -1, axis=1)
+    jn_in = np.roll(i_next, -1, axis=1)
+    quads = np.stack(
+        [idx.ravel(), i_next.ravel(), jn_in.ravel(), j_next.ravel()], -1
+    )
+    tris = np.concatenate([quads[:, [0, 1, 2]], quads[:, [0, 2, 3]]])
+    v = pts.reshape(-1, 3)[tris]  # (T, 3, 3)
+    n = ring.reshape(-1, 3)[tris]
+    return triangle_mesh(v, n)
+
+
+def build_scene(obj_path=None) -> Scene:
+    scene = Scene()
+    if obj_path:
+        mesh = load_obj(obj_path)
+    else:
+        print("No --obj given (no egress to fetch dragon.zip); using the "
+              "procedural high-poly stand-in")
+        mesh = trefoil_mesh()
+    print(f"Mesh: {mesh.num_triangles} triangles")
+    scene.add(
+        Object(
+            mesh.scale([3.4, 3.4, 3.4]).rotate_y(math.pi / 2)
+        ).material(Material.specular(hex_color(0xB7CA79), 0.1))
+    )
+    scene.add(
+        Object(plane([0.0, 1.0, 0.0], -1.0)).material(
+            Material.diffuse(hex_color(0xAAAAAA))
+        )
+    )
+    scene.add(AmbientLight((0.01, 0.01, 0.01)))
+    scene.add(
+        ObjectLight(
+            Object(
+                sphere().scale([2.0, 2.0, 2.0]).translate([0.0, 20.0, 3.0])
+            ).material(Material.light((1.0, 1.0, 1.0), 160.0))
+        )
+    )
+    scene.add(
+        ObjectLight(
+            Object(
+                sphere().scale([0.05, 0.05, 0.05]).translate([-1.0, 0.71, 0.0])
+            ).material(Material.light(hex_color(0xFFAAAA), 400.0))
+        )
+    )
+    return scene
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--obj", default=None)
+    parser.add_argument("--spp", type=int, default=1)
+    parser.add_argument("--width", type=int, default=800)
+    parser.add_argument("--height", type=int, default=600)
+    parser.add_argument("--out", default="dragon.png")
+    args = parser.parse_args()
+
+    camera = Camera.look_at(
+        (-2.5, 4.0, 6.5), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), math.pi / 6
+    )
+    renderer = Renderer(
+        build_scene(args.obj),
+        camera,
+        width=args.width,
+        height=args.height,
+        max_bounces=2,
+        num_samples=args.spp,
+    )
+    t0 = time.time()
+    img = renderer.render()
+    print(f"Rendered in {time.time() - t0:.2f}s")
+    Image.fromarray(img).save(args.out)
+    print(f"Saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Ice sculpture of a winged horse under an HDRI.
+
+Parity with /root/reference/examples/pegasus.rs (1200x1200, 10 spp,
+8 bounces, EV -1.5, progressive render with variance logging). The mesh is
+read straight out of the reference's pegasus.zip; the reference's 8k HDRI
+streams from hdrihaven (no egress here), so pass --hdr or get the procedural
+sky.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import io
+import math
+import time
+import zipfile
+
+from PIL import Image
+
+from rpt_tpu import (
+    Camera,
+    Environment,
+    Material,
+    Object,
+    Renderer,
+    Scene,
+    hex_color,
+    polygon,
+)
+from rpt_tpu.io.obj import load_obj
+
+DEFAULT_ZIP = "/root/reference/examples/pegasus.zip"
+
+
+def load_pegasus(zip_path):
+    with zipfile.ZipFile(zip_path) as zf:
+        with zf.open("pegasus.obj") as f:
+            return load_obj(io.TextIOWrapper(f, encoding="utf-8"))
+
+
+def build_scene(zip_path, hdr_path=None) -> Scene:
+    scene = Scene()
+    if hdr_path:
+        from rpt_tpu.io.image import load_hdr
+
+        scene.set_environment(Environment.from_hdri(load_hdr(hdr_path)))
+    else:
+        from _sky import procedural_sky
+
+        scene.set_environment(Environment.from_hdri(procedural_sky()))
+
+    pegasus = load_pegasus(zip_path)
+    print(f"Loaded {pegasus.num_triangles} triangles")
+    ice = Material.transparent_colored(hex_color(0xF8F8FF), 1.31, 0.2)
+    scene.add(Object(pegasus.scale([1.4, 1.4, 1.4])).material(ice))
+    scene.add(
+        Object(
+            polygon(
+                [
+                    [2.0, -0.01, 2.0],
+                    [2.0, -0.01, -2.0],
+                    [-2.0, -0.01, -2.0],
+                    [-2.0, -0.01, 2.0],
+                ]
+            )
+        ).material(Material.diffuse(hex_color(0xDDDDDD)))
+    )
+    return scene
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--zip", default=DEFAULT_ZIP)
+    parser.add_argument("--hdr", default=None)
+    parser.add_argument("--spp", type=int, default=10)
+    parser.add_argument("--size", type=int, default=1200)
+    parser.add_argument("--bounces", type=int, default=8)
+    parser.add_argument("--out", default="pegasus.png")
+    args = parser.parse_args()
+
+    camera = Camera.look_at(
+        (0.0, 1.5, 3.1), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0), math.pi / 4
+    )
+    renderer = Renderer(
+        build_scene(args.zip, args.hdr),
+        camera,
+        width=args.size,
+        height=args.size,
+        exposure_value=-1.5,
+        max_bounces=args.bounces,
+        num_samples=args.spp,
+    )
+
+    start = time.time()
+
+    def callback(iteration, buffer):
+        ms = (time.time() - start) * 1000.0
+        print(
+            f"Finished iteration {iteration}, took {ms:.0f} ms, "
+            f"variance: {float(buffer.variance()):.6f}"
+        )
+
+    buffer = renderer.iterative_render(1, callback)
+    Image.fromarray(buffer.image()).save(args.out)
+    print(f"Saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

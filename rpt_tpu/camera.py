@@ -48,6 +48,18 @@ class Camera:
         default_factory=lambda: jnp.float32(0.0)
     )
 
+    def __post_init__(self):
+        # Coerce host-side tuples/lists/scalars so Camera(eye=(0,0,10), ...)
+        # works like the reference's struct literal (camera.rs:28-39). Only
+        # plain host types are touched — tracers and device arrays pass
+        # through untouched (this runs on every pytree unflatten).
+        import numpy as _np
+
+        for f in ("eye", "direction", "up", "fov", "aperture", "focal_distance"):
+            v = getattr(self, f)
+            if isinstance(v, (tuple, list, float, int, _np.ndarray, _np.generic)):
+                object.__setattr__(self, f, jnp.asarray(v, jnp.float32))
+
     @staticmethod
     def look_at(eye, center, up, fov) -> "Camera":
         """Perspective camera looking at a point (camera.rs:43-54)."""

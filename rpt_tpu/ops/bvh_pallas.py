@@ -43,14 +43,18 @@ __all__ = ["bvh_closest_hit_pallas", "pack_bvh_for_pallas", "pallas_eligible"]
 
 LANES = 128  # rays per packet
 KMAX = 8  # triangles per leaf (= bvh.LEAF_SIZE)
-TRI_ROW = 24  # padded float32s per pre-swizzled triangle row
+TRI_ROW = 128  # lanes per triangle row (DMA slices must be 128-aligned)
 _BIG = 3.0e38  # in-kernel miss sentinel (avoid inf arithmetic)
 
-# Budget caps for the single-kernel layout: triangles stay VMEM-resident
-# (~96 B/tri swizzled) and node metadata lives in SMEM (~48 B/node). Larger
-# meshes take the XLA while_loop path instead.
-MAX_TRIS = 120_000
-MAX_NODES = 40_000
+# Budget caps: node metadata lives in SMEM as FLAT 1-D arrays (2-D SMEM
+# windows are lane-padded to 128, blowing a (M,4) i32 array up 32x past the
+# ~1 MB SMEM budget); 48 B/node flat => ~20k nodes fit. Triangles stay in
+# HBM — a (Tp, 24) f32 array pads its lane dim to 128 (512 B/tri), so VMEM
+# residency tops out near 30k tris; instead each visited leaf's 8-row block
+# is DMA'd into a 4 KB VMEM scratch on demand. Meshes past the node cap take
+# the XLA while_loop path.
+MAX_NODES = 20_000
+MAX_TRIS = 200_000  # effectively node-bound: ~8 tris per leaf, M ~ 2*T/8
 
 
 def pallas_eligible(bvh: BvhData) -> bool:
@@ -61,9 +65,14 @@ def pack_bvh_for_pallas(bvh: BvhData):
     """Host-side swizzle of a built BVH into the kernel's memory layout.
 
     Returns (bounds, meta, tri_pack) as numpy arrays:
-      bounds  (M, 8) f32   [min.xyz, max.xyz, 0, 0]            -> SMEM
-      meta    (M, 4) i32   [skip, leaf_start, leaf_count, 0]   -> SMEM
-      tri_pack(Tp,24) f32  swizzled triangle rows (8-row pad)  -> VMEM
+      bounds  (M*8,) f32 flat [min.xyz, max.xyz, 0, 0] per node -> SMEM
+      meta    (M*4,) i32 flat [skip, leaf_start, leaf_count, 0] -> SMEM
+      tri_pack(L, 8, 128) f32: one (8, 128) block per LEAF — triangle k of
+        the leaf on sublane k, its 17 swizzled fields on lanes 0..16 -> HBM,
+        DMA'd per visited leaf (both DMA alignment constraints satisfied:
+        8 sublanes, 128 lanes).
+    SMEM arrays are 1-D on purpose: 2-D SMEM windows are lane-padded to 128
+    (a (M,4) i32 window allocates M*128*4 bytes), busting the ~1 MB budget.
     """
     node_min = np.asarray(bvh.node_min, np.float32)
     node_max = np.asarray(bvh.node_max, np.float32)
@@ -71,10 +80,12 @@ def pack_bvh_for_pallas(bvh: BvhData):
     bounds = np.zeros((M, 8), np.float32)
     bounds[:, 0:3] = node_min
     bounds[:, 3:6] = node_max
+    bounds = bounds.reshape(-1)
     meta = np.zeros((M, 4), np.int32)
     meta[:, 0] = np.asarray(bvh.skip, np.int32)
     meta[:, 1] = np.asarray(bvh.leaf_start, np.int32)
     meta[:, 2] = np.asarray(bvh.leaf_count, np.int32)
+    meta = meta.reshape(-1)
 
     v = np.asarray(bvh.verts, np.float64)  # (T,3,3) leaf-contiguous
     T = v.shape[0]
@@ -91,23 +102,28 @@ def pack_bvh_for_pallas(bvh: BvhData):
     inv_denom = 1.0 / np.where(np.abs(denom) > 1e-20, denom, 1e-20)
     pv = np.einsum("ij,ij->i", pn, v0)
 
-    Tp = T + KMAX  # pad so a full leaf at the end loads in-bounds
-    tri = np.zeros((Tp, TRI_ROW), np.float32)
-    tri[:T, 0:3] = v0
-    tri[:T, 3:6] = e1
-    tri[:T, 6:9] = e2
-    tri[:T, 9:12] = pn
-    tri[:T, 12] = pv
-    tri[:T, 13] = d00
-    tri[:T, 14] = d01
-    tri[:T, 15] = d11
-    tri[:T, 16] = inv_denom
+    # T is already a multiple of KMAX (leaves are 8-aligned at build time);
+    # leaf i owns triangles [8i, 8i+8), i.e. block i of the (L, 8, 128) pack.
+    assert T % KMAX == 0, "build_bvh must emit 8-aligned leaves"
+    rows = np.zeros((T, TRI_ROW), np.float32)
+    rows[:, 0:3] = v0
+    rows[:, 3:6] = e1
+    rows[:, 6:9] = e2
+    rows[:, 9:12] = pn
+    rows[:, 12] = pv
+    rows[:, 13] = d00
+    rows[:, 14] = d01
+    rows[:, 15] = d11
+    rows[:, 16] = inv_denom
+    tri = rows.reshape(T // KMAX, KMAX, TRI_ROW)
     return bounds, meta, tri
 
 
-def _kernel(meta_ref, bounds_ref, tmin_ref, rays_ref, tri_ref, t_ref, id_ref):
-    """One packet: 128 rays vs. the whole BVH."""
-    M = meta_ref.shape[0]
+def _kernel(meta_ref, bounds_ref, tmin_ref, rays_ref, tri_ref, t_ref, id_ref,
+            tri_scratch, dma_sem):
+    """One packet: 128 rays vs. the whole BVH. Triangle rows live in HBM
+    (tri_ref); each visited leaf's (8, 24) block is DMA'd into tri_scratch."""
+    M = meta_ref.shape[0] // 4
     r = rays_ref[0]  # (8, 128): ox oy oz dx dy dz active pad
     ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
     dx, dy, dz = r[3:4, :], r[4:5, :], r[5:6, :]
@@ -126,17 +142,19 @@ def _kernel(meta_ref, bounds_ref, tmin_ref, rays_ref, tri_ref, t_ref, id_ref):
 
     def body(state):
         ptr, t_best, best_id = state
-        skip = meta_ref[ptr, 0]
-        start = meta_ref[ptr, 1]
-        count = meta_ref[ptr, 2]
+        m4 = ptr * 4
+        skip = meta_ref[m4]
+        start = meta_ref[m4 + 1]
+        count = meta_ref[m4 + 2]
 
         # Slab test on (1, 128): node bounds are packet-uniform scalars.
-        t1x = (bounds_ref[ptr, 0] - ox) * ivx
-        t2x = (bounds_ref[ptr, 3] - ox) * ivx
-        t1y = (bounds_ref[ptr, 1] - oy) * ivy
-        t2y = (bounds_ref[ptr, 4] - oy) * ivy
-        t1z = (bounds_ref[ptr, 2] - oz) * ivz
-        t2z = (bounds_ref[ptr, 5] - oz) * ivz
+        b8 = ptr * 8
+        t1x = (bounds_ref[b8 + 0] - ox) * ivx
+        t2x = (bounds_ref[b8 + 3] - ox) * ivx
+        t1y = (bounds_ref[b8 + 1] - oy) * ivy
+        t2y = (bounds_ref[b8 + 4] - oy) * ivy
+        t1z = (bounds_ref[b8 + 2] - oz) * ivz
+        t2z = (bounds_ref[b8 + 5] - oz) * ivz
         lo = jnp.maximum(
             jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
             jnp.minimum(t1z, t2z),
@@ -151,7 +169,12 @@ def _kernel(meta_ref, bounds_ref, tmin_ref, rays_ref, tri_ref, t_ref, id_ref):
 
         def do_leaf(args):
             t_best, best_id = args
-            tri = tri_ref[pl.ds(start, KMAX), :]  # (8, 24)
+            dma = pltpu.make_async_copy(
+                tri_ref.at[start // KMAX], tri_scratch, dma_sem
+            )
+            dma.start()
+            dma.wait()
+            tri = tri_scratch  # (8, 128): triangle k on sublane k
             v0x, v0y, v0z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
             e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
             e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
@@ -224,7 +247,11 @@ def _traverse(bounds, meta, tri_pack, rays, t_min, *, interpret=False):
             pl.BlockSpec(
                 (1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),  # rays
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_pack (Tp,24), resident
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tri_pack (Tp,24), HBM
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((KMAX, TRI_ROW), jnp.float32),  # one leaf block
+            pltpu.SemaphoreType.DMA,
         ],
         out_specs=[
             # (G, 1, 128) with a (1, 1, 128) block: Mosaic requires the last

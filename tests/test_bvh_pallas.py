@@ -94,9 +94,14 @@ def test_pack_layout():
     bvh = build_bvh(verts, norms, mats)
     bounds, meta, tri = pack_bvh_for_pallas(bvh)
     M = np.asarray(bvh.node_min).shape[0]
-    assert bounds.shape == (M, 8) and meta.shape == (M, 4)
+    # Flat 1-D SMEM layouts (2-D SMEM windows lane-pad to 128)
+    assert bounds.shape == (M * 8,) and meta.shape == (M * 4,)
     # Leaf starts are 8-aligned so the kernel's (8, K) loads are aligned.
     starts = np.asarray(bvh.leaf_start)[np.asarray(bvh.leaf_count) > 0]
     assert (starts % 8 == 0).all()
-    # Swizzled v0 matches the permuted verts table.
-    np.testing.assert_allclose(tri[: bvh.num_tris, 0:3], np.asarray(bvh.verts)[:, 0], rtol=1e-6)
+    # Swizzled v0 matches the permuted verts table; one (8,128) block per leaf.
+    T = bvh.num_tris
+    assert tri.shape == (T // 8, 8, 128)
+    np.testing.assert_allclose(
+        tri.reshape(T, 128)[:, 0:3], np.asarray(bvh.verts)[:, 0], rtol=1e-6
+    )
