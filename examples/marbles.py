@@ -135,6 +135,7 @@ def main():
             max_bounces=bounces,
             num_samples=spp,
             seed=frame,
+            dynamic=True,  # same topology every frame: compile once
         ).render()
         Image.fromarray(img).save(f"{args.outdir}/image_{frame}.png")
         state = system.rk4_integrate(state, 1.0 / 16.0, 1.0 / 10000.0)

@@ -79,6 +79,7 @@ def main():
         img = Renderer(
             build_scene(i), Camera(), width=800, height=600,
             max_bounces=1, num_samples=spp, seed=i,
+            dynamic=True,  # same topology every frame: compile once
         ).render()
         Image.fromarray(img).save(f"{args.outdir}/image_{i}.png")
         print(f"frame {i} in {time.time() - t0:.2f}s")

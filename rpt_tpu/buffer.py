@@ -101,3 +101,32 @@ class Buffer:
     def image(self, filter: Filter = Filter()) -> np.ndarray:
         """Tone-mapped uint8 image (H, W, 3) on the host (buffer.rs:43-56)."""
         return color_bytes(jax.device_get(self.mean_image(filter)))
+
+    # --- checkpoint / resume ------------------------------------------------
+    # The reference's only "checkpoint" is the progressive PNG dump
+    # (renderer.rs:103-115) — the accumulator itself cannot be saved. Here the
+    # sufficient statistics + sampling cursor round-trip exactly, so a resumed
+    # render is bit-identical to an uninterrupted one (same fold_in(seed, i)
+    # stream per iteration).
+
+    def save(self, path, *, seed: int, iteration: int) -> None:
+        """Write the accumulator + sampling cursor to an .npz checkpoint."""
+        np.savez_compressed(
+            path,
+            sum=jax.device_get(self.sum),
+            sum_sq=jax.device_get(self.sum_sq),
+            count=jax.device_get(self.count),
+            seed=np.int64(seed),
+            iteration=np.int64(iteration),
+        )
+
+    @staticmethod
+    def load(path):
+        """Read a checkpoint; returns (Buffer, seed, iteration)."""
+        with np.load(path) as z:
+            buf = Buffer(
+                sum=jnp.asarray(z["sum"]),
+                sum_sq=jnp.asarray(z["sum_sq"]),
+                count=jnp.asarray(z["count"]),
+            )
+            return buf, int(z["seed"]), int(z["iteration"])

@@ -231,6 +231,49 @@ class CubeLightData:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class MonomialLightData:
+    """Emissive (possibly transformed) monomial surface, exp=4.
+
+    Parity with monomial_surface.rs:108-125: the reference samples the RIM
+    circle (rand_distr::UnitCircle gives |(x,z)| = 1, so pos = (x, h, z)),
+    flips the analytic normal with probability 1/2 (the surface is
+    two-sided), and uses pdf 1/(2*AREA) with the hard-coded one-side area
+    6.3406654362 (monomial_surface.rs:117).
+    """
+
+    AREA = 6.3406654362
+
+    inv_tf: jnp.ndarray  # (3,4) world->local affine (unused; kept for parity)
+    l2w_lin: jnp.ndarray  # (3,3)
+    l2w_trans: jnp.ndarray  # (3,)
+    nmat: jnp.ndarray  # (3,3)
+    det: jnp.ndarray  # ()
+    height: jnp.ndarray  # ()
+    emitted: jnp.ndarray  # (3,)
+
+    def illuminate(self, key, pos):
+        shape = pos.shape[:-1]
+        k1, k2 = jax.random.split(key)
+        theta = jax.random.uniform(k1, shape, pos.dtype, 0.0, 2.0 * jnp.pi)
+        x = jnp.cos(theta)
+        z = jnp.sin(theta)
+        h = self.height
+        p_local = jnp.stack([x, jnp.broadcast_to(h, shape), z], -1)
+        r2 = x * x + z * z  # == 1 on the rim, kept for formula parity
+        n_local = normalize(
+            jnp.stack([h * 4.0 * x * r2, -jnp.ones_like(x), h * 4.0 * z * r2], -1)
+        )
+        flip = jax.random.bernoulli(k2, 0.5, shape)
+        n_local = jnp.where(flip[..., None], -n_local, n_local)
+        pdf = jnp.full(shape, 1.0 / (2.0 * self.AREA), pos.dtype)
+        v, nrm, pdf = _transform_sample(
+            self.l2w_lin, self.l2w_trans, self.nmat, self.det, p_local, n_local, pdf
+        )
+        return _object_light_intensity(v, nrm, pdf, self.emitted, pos)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class MeshLightData:
     """Emissive triangle mesh, already in world space. Uniform triangle choice
     (kdtree.rs:138-143) x uniform point in triangle with pdf 1/area

@@ -110,6 +110,34 @@ def make_render_many_fn(scene_data, width: int, height: int, max_bounces: int):
     return fn
 
 
+@partial(jax.jit, static_argnames=("width", "height", "max_bounces"))
+def _render_many_dynamic(
+    scene_data, camera, base_key, start, n, t_min, ev_scale,
+    *, width, height, max_bounces,
+):
+    """Same accumulation loop as make_render_many_fn, but the scene is a jit
+    ARGUMENT rather than a closed-over constant: animations whose frames
+    share a topology (same primitive counts/types — e.g. the marbles frame
+    loop, marbles.rs:59-136) compile ONCE and stream per-frame geometry in.
+    jax.jit's own cache keys on the scene pytree structure + leaf shapes, so
+    a topology change retraces automatically."""
+    dtype = scene_data.materials.color.dtype
+
+    def body(i, acc):
+        s, ss = acc
+        key = jax.random.fold_in(base_key, start + i)
+        frame = _render_pass_impl(
+            scene_data, camera, key, width, height, max_bounces, t_min, ev_scale
+        )
+        return (s + frame, ss + jnp.sum(frame * frame, axis=-1))
+
+    init = (
+        jnp.zeros((height, width, 3), dtype),
+        jnp.zeros((height, width), dtype),
+    )
+    return jax.lax.fori_loop(0, n, body, init)
+
+
 def make_render_fn(scene_data, width: int, height: int, max_bounces: int):
     """Jitted (camera, key, t_min, ev_scale) -> (H, W, 3) frame for a fixed
     compiled scene, cached per (scene, resolution, bounces)."""
@@ -158,6 +186,7 @@ class Renderer:
         epsilon: float = DEFAULT_EPSILON,
         seed: int = 0,
         dtype=jnp.float32,
+        dynamic: bool = False,
     ):
         self.scene = scene
         self.camera = camera if camera is not None else Camera()
@@ -170,6 +199,10 @@ class Renderer:
         self.epsilon = epsilon
         self.seed = seed
         self.dtype = dtype
+        # dynamic=True passes the compiled scene as a jit argument instead of
+        # baking it into the program as constants: use for frame loops where
+        # geometry moves but topology is fixed (one compile for all frames).
+        self.dynamic = dynamic
 
     # --- builder setters (renderer.rs:60-93) -------------------------------
 
@@ -211,11 +244,19 @@ class Renderer:
         on device in one dispatch (see make_render_many_fn)."""
         scene_data, t_min, ev_scale = self._pass_args()
         base = jax.random.PRNGKey(self.seed)
-        fn = make_render_many_fn(scene_data, self.width, self.height, self.max_bounces)
-        s, ss = fn(
-            self.camera, base, jnp.int32(start_iter), jnp.int32(iterations),
-            t_min, ev_scale,
-        )
+        if self.dynamic:
+            s, ss = _render_many_dynamic(
+                jax.tree_util.tree_map(jnp.asarray, scene_data),
+                self.camera, base, jnp.int32(start_iter), jnp.int32(iterations),
+                t_min, ev_scale,
+                width=self.width, height=self.height, max_bounces=self.max_bounces,
+            )
+        else:
+            fn = make_render_many_fn(scene_data, self.width, self.height, self.max_bounces)
+            s, ss = fn(
+                self.camera, base, jnp.int32(start_iter), jnp.int32(iterations),
+                t_min, ev_scale,
+            )
         return Buffer(
             sum=buffer.sum + s,
             sum_sq=buffer.sum_sq + ss,
@@ -232,15 +273,34 @@ class Renderer:
         return self.render_buffer().image(self.filter)
 
     def iterative_render(
-        self, callback_interval: int, callback: Callable[[int, Buffer], None]
+        self,
+        callback_interval: int,
+        callback: Callable[[int, Buffer], None],
+        checkpoint_path: Optional[str] = None,
     ) -> Buffer:
         """Progressive rendering with a callback every k samples
-        (parity: renderer.rs:103-115)."""
+        (parity: renderer.rs:103-115).
+
+        With `checkpoint_path`, the accumulator + sampling cursor are saved
+        after every interval and the render RESUMES from an existing
+        checkpoint — bit-identical to an uninterrupted run (the per-sample
+        key is fold_in(seed, i), independent of chunking). An improvement
+        over the reference, whose Buffer cannot be saved (SURVEY.md §5)."""
+        import os
+
         buffer = Buffer.new(self.width, self.height, self.dtype)
         iteration = 0
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            buffer, ck_seed, iteration = Buffer.load(checkpoint_path)
+            if ck_seed != self.seed:
+                raise ValueError(
+                    f"checkpoint seed {ck_seed} != renderer seed {self.seed}"
+                )
         while iteration < self.num_samples:
             steps = min(self.num_samples - iteration, callback_interval)
             buffer = self.sample_into(buffer, steps, start_iter=iteration)
             iteration += steps
+            if checkpoint_path:
+                buffer.save(checkpoint_path, seed=self.seed, iteration=iteration)
             callback(iteration, buffer)
         return buffer

@@ -29,6 +29,7 @@ from .lights import (
     DirectionalLight,
     DirectionalLightData,
     MeshLightData,
+    MonomialLightData,
     ObjectLight,
     PointLight,
     PointLightData,
@@ -520,6 +521,19 @@ def _compile_light(light, dtype):
                 l2w_trans=trans.astype(np_dtype),
                 nmat=nmat.astype(np_dtype),
                 det=np_dtype.type(det),
+                emitted=emitted,
+            )
+        if isinstance(base, MonomialSurface):
+            if abs(base.exp - 4.0) > 1e-9:
+                raise ValueError("MonomialSurface lights support exp=4 only")
+            inv_tf, lin, trans, nmat, det = _affine_parts(matrix)
+            return MonomialLightData(
+                inv_tf=inv_tf.astype(np_dtype),
+                l2w_lin=lin.astype(np_dtype),
+                l2w_trans=trans.astype(np_dtype),
+                nmat=nmat.astype(np_dtype),
+                det=np_dtype.type(det),
+                height=np_dtype.type(base.height),
                 emitted=emitted,
             )
         if isinstance(base, Mesh):
