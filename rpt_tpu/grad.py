@@ -43,12 +43,24 @@ def make_material_render_fn(scene_data, width: int, height: int, max_bounces: in
         @jax.jit
         def fn(materials, camera, key, t_min, ev_scale):
             sd = dataclasses.replace(scene_data, materials=materials)
-            acc = jnp.zeros((height, width, 3), materials.color.dtype)
-            for i in range(spp):
+
+            # One traced sample body under lax.scan + remat: program size is
+            # O(1) in spp (the Python-unrolled version compiled spp copies of
+            # the whole path tracer) and the backward pass rematerializes each
+            # sample's path intermediates instead of storing them, so memory
+            # is O(spp * H * W) for the carried accumulator only. Sample i
+            # still uses fold_in(key, i) and left-to-right summation, so the
+            # result is bit-identical to the unrolled version.
+            @jax.checkpoint
+            def body(acc, i):
                 k = jax.random.fold_in(key, i)
-                acc = acc + _render_pass_impl(
+                frame = _render_pass_impl(
                     sd, camera, k, width, height, max_bounces, t_min, ev_scale
                 )
+                return acc + frame, None
+
+            acc0 = jnp.zeros((height, width, 3), materials.color.dtype)
+            acc, _ = jax.lax.scan(body, acc0, jnp.arange(spp))
             return acc / spp
 
         _DIFF_CACHE[cache_key] = fn

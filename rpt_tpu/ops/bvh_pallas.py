@@ -13,14 +13,25 @@ ray per node. Here we traverse in *packets*:
   (per-lane running-best prune `lo <= t_best` included) — the classic packet
   traversal, and the vector analog of the reference's early-exit recursion.
 - Node bounds and skip/leaf metadata live in SMEM (scalar-indexed loads are
-  the scalar core's bread and butter); triangles live in VMEM, PRE-SWIZZLED
-  host-side into 24-float rows [v0, e1, e2, pn, pn.v0, d00, d01, d11,
-  inv_denom, pad...] so one leaf = one dense (8, 24) vector load.
+  the scalar core's bread and butter); triangles live in HBM, PRE-SWIZZLED
+  host-side into 128-float rows [v0, e1, e2, pn, pn.v0, d00, d01, d11,
+  inv_denom, pad...] so one leaf = one dense (8, 128) DMA.
 - A leaf is tested as triangles-on-sublanes x rays-on-lanes: one (8, 128)
   elementwise pipeline intersects 8 triangles against 128 rays per VPU op,
   then a cross-sublane min picks each lane's best. This is the same plane +
   barycentric formulation as `_tri_hit_t`, so hits agree with the XLA path
   bit-for-bit (up to fused-op rounding).
+
+Large meshes (dragon-class, /root/reference/examples/dragon.rs:11-22 —
+871k triangles) exceed the ~1 MB SMEM budget for node metadata. Rather than
+falling back to the gather-bound XLA path, the BVH is PARTITIONED host-side
+into maximal subtrees of <= CHUNK_NODES nodes (each a self-contained
+contiguous preorder slice with internal skip links) and the kernel runs on a
+(packets, chunks) grid with the chunk axis innermost: Pallas streams each
+chunk's node arrays through SMEM while the packet's output block stays
+resident in VMEM, and the running-best hit carries ACROSS chunks, so chunk
+k+1 is pruned by everything chunks 0..k already found. A one-chunk mesh
+compiles to exactly the old single-SMEM-load kernel.
 
 The kernel returns only (t_best, triangle id); the smooth-normal
 reconstruction is shared with the XLA path (`bvh.finalize_hit`).
@@ -39,55 +50,82 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import Hit, INF
 from .bvh import BvhData, finalize_hit
 
-__all__ = ["bvh_closest_hit_pallas", "pack_bvh_for_pallas", "pallas_eligible"]
+__all__ = ["bvh_closest_hit_pallas", "pack_bvh_for_pallas", "pallas_eligible", "PallasPack"]
 
 LANES = 128  # rays per packet
 KMAX = 8  # triangles per leaf (= bvh.LEAF_SIZE)
 TRI_ROW = 128  # lanes per triangle row (DMA slices must be 128-aligned)
 _BIG = 3.0e38  # in-kernel miss sentinel (avoid inf arithmetic)
 
-# Budget caps: node metadata lives in SMEM as FLAT 1-D arrays (2-D SMEM
-# windows are lane-padded to 128, blowing a (M,4) i32 array up 32x past the
-# ~1 MB SMEM budget); 48 B/node flat => ~20k nodes fit. Triangles stay in
-# HBM — a (Tp, 24) f32 array pads its lane dim to 128 (512 B/tri), so VMEM
-# residency tops out near 30k tris; instead each visited leaf's 8-row block
-# is DMA'd into a 4 KB VMEM scratch on demand. Meshes past the node cap take
-# the XLA while_loop path.
-MAX_NODES = 20_000
-MAX_TRIS = 200_000  # effectively node-bound: ~8 tris per leaf, M ~ 2*T/8
+# SMEM budget per chunk: node metadata lives in SMEM as FLAT 1-D arrays (2-D
+# SMEM windows are lane-padded to 128, blowing a (M,4) i32 array up 32x past
+# the ~1 MB SMEM budget); 48 B/node flat => ~18k nodes/chunk. Meshes with more
+# nodes are split into subtree chunks streamed through SMEM (see module doc).
+# Triangles stay in HBM — each visited leaf's 8-row block is DMA'd into a
+# 4 KB VMEM scratch on demand — but their packed rows cost 512 B/tri of HBM,
+# so MAX_TRIS caps the total at ~1 GB.
+CHUNK_NODES = 18_000
+MAX_CHUNKS = 64
+MAX_TRIS = 2_000_000
+
+
+@jax.tree_util.register_pytree_node_class
+class PallasPack:
+    """Kernel-layout arrays + STATIC chunk count. The chunk count is pytree
+    aux data so SceneData.to_device()'s tree_map can't turn it into a tracer
+    (it parameterizes the pallas grid, which must be static)."""
+
+    def __init__(self, bounds, meta, tri, n_chunks: int):
+        self.bounds = bounds
+        self.meta = meta
+        self.tri = tri
+        self.n_chunks = int(n_chunks)
+
+    def tree_flatten(self):
+        return (self.bounds, self.meta, self.tri), self.n_chunks
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, aux)
 
 
 def pallas_eligible(bvh: BvhData) -> bool:
-    return bvh.num_tris <= MAX_TRIS and bvh.num_nodes <= MAX_NODES
+    return (
+        bvh.num_tris <= MAX_TRIS
+        and bvh.num_nodes <= CHUNK_NODES * MAX_CHUNKS
+    )
 
 
-def pack_bvh_for_pallas(bvh: BvhData):
-    """Host-side swizzle of a built BVH into the kernel's memory layout.
+def _chunk_subtrees(skip: np.ndarray, is_leaf: np.ndarray, budget: int):
+    """Partition a skip-link preorder BVH into maximal subtrees of <= budget
+    nodes. Returns a list of (start, end) preorder ranges covering every leaf
+    exactly once. A preorder subtree [s, e) is self-contained: every internal
+    skip points inside (s, e]."""
+    out = []
+    stack = [0]
+    M = skip.shape[0]
+    while stack:
+        n = stack.pop()
+        e = int(skip[n])
+        if e - n <= budget:
+            out.append((n, e))
+            continue
+        assert not is_leaf[n], "leaf larger than chunk budget"
+        left = n + 1
+        right = int(skip[left])
+        stack.append(right)  # preorder: left chunk first
+        stack.append(left)
+    out.sort()
+    # Ranges are disjoint but NOT contiguous: each split's internal node
+    # belongs to no chunk (its box test is re-done by both children's chunk
+    # roots). Every leaf is covered exactly once.
+    assert out and all(out[i][1] <= out[i + 1][0] for i in range(len(out) - 1))
+    return out
 
-    Returns (bounds, meta, tri_pack) as numpy arrays:
-      bounds  (M*8,) f32 flat [min.xyz, max.xyz, 0, 0] per node -> SMEM
-      meta    (M*4,) i32 flat [skip, leaf_start, leaf_count, 0] -> SMEM
-      tri_pack(L, 8, 128) f32: one (8, 128) block per LEAF — triangle k of
-        the leaf on sublane k, its 17 swizzled fields on lanes 0..16 -> HBM,
-        DMA'd per visited leaf (both DMA alignment constraints satisfied:
-        8 sublanes, 128 lanes).
-    SMEM arrays are 1-D on purpose: 2-D SMEM windows are lane-padded to 128
-    (a (M,4) i32 window allocates M*128*4 bytes), busting the ~1 MB budget.
-    """
-    node_min = np.asarray(bvh.node_min, np.float32)
-    node_max = np.asarray(bvh.node_max, np.float32)
-    M = node_min.shape[0]
-    bounds = np.zeros((M, 8), np.float32)
-    bounds[:, 0:3] = node_min
-    bounds[:, 3:6] = node_max
-    bounds = bounds.reshape(-1)
-    meta = np.zeros((M, 4), np.int32)
-    meta[:, 0] = np.asarray(bvh.skip, np.int32)
-    meta[:, 1] = np.asarray(bvh.leaf_start, np.int32)
-    meta[:, 2] = np.asarray(bvh.leaf_count, np.int32)
-    meta = meta.reshape(-1)
 
-    v = np.asarray(bvh.verts, np.float64)  # (T,3,3) leaf-contiguous
+def _swizzle_tris(verts: np.ndarray) -> np.ndarray:
+    """(T, 3, 3) leaf-contiguous triangles -> (T//8, 8, 128) packed rows."""
+    v = np.asarray(verts, np.float64)
     T = v.shape[0]
     v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
     e1 = v1 - v0
@@ -102,8 +140,6 @@ def pack_bvh_for_pallas(bvh: BvhData):
     inv_denom = 1.0 / np.where(np.abs(denom) > 1e-20, denom, 1e-20)
     pv = np.einsum("ij,ij->i", pn, v0)
 
-    # T is already a multiple of KMAX (leaves are 8-aligned at build time);
-    # leaf i owns triangles [8i, 8i+8), i.e. block i of the (L, 8, 128) pack.
     assert T % KMAX == 0, "build_bvh must emit 8-aligned leaves"
     rows = np.zeros((T, TRI_ROW), np.float32)
     rows[:, 0:3] = v0
@@ -115,20 +151,74 @@ def pack_bvh_for_pallas(bvh: BvhData):
     rows[:, 14] = d01
     rows[:, 15] = d11
     rows[:, 16] = inv_denom
-    tri = rows.reshape(T // KMAX, KMAX, TRI_ROW)
-    return bounds, meta, tri
+    return rows.reshape(T // KMAX, KMAX, TRI_ROW)
+
+
+def pack_bvh_for_pallas(bvh: BvhData):
+    """Host-side swizzle of a built BVH into the kernel's memory layout.
+
+    Returns (bounds, meta, tri_pack) as numpy arrays:
+      bounds  (C*Mc*8,) f32 flat [min.xyz, max.xyz, 0, 0] per node -> one
+        (Mc*8,) SMEM block per chunk
+      meta    (C*Mc*4,) i32 flat [skip, leaf_start, leaf_count, 0] -> SMEM,
+        skip links REBASED per chunk with the chunk-exit mapped to Mc
+      tri_pack(L, 8, 128) f32: one (8, 128) block per LEAF — triangle k of
+        the leaf on sublane k, its 17 swizzled fields on lanes 0..16 -> HBM,
+        DMA'd per visited leaf (leaf_start stays GLOBAL across chunks).
+    SMEM arrays are 1-D on purpose: 2-D SMEM windows are lane-padded to 128
+    (a (M,4) i32 window allocates M*128*4 bytes), busting the ~1 MB budget.
+    """
+    node_min = np.asarray(bvh.node_min, np.float32)
+    node_max = np.asarray(bvh.node_max, np.float32)
+    skip = np.asarray(bvh.skip, np.int64)
+    is_leaf = np.asarray(bvh.is_leaf)
+    leaf_start = np.asarray(bvh.leaf_start, np.int64)
+    leaf_count = np.asarray(bvh.leaf_count, np.int64)
+
+    chunks = _chunk_subtrees(skip, is_leaf, CHUNK_NODES)
+    C = len(chunks)
+    Mc = max(e - s for s, e in chunks)
+
+    bounds = np.zeros((C, Mc, 8), np.float32)
+    # Padded nodes: inverted boxes (min=+BIG, max=-BIG) never pass the slab
+    # test, and skip = Mc exits immediately — but they are unreachable anyway
+    # because every real exit is remapped straight to Mc.
+    bounds[:, :, 0:3] = _BIG
+    bounds[:, :, 3:6] = -_BIG
+    meta = np.zeros((C, Mc, 4), np.int32)
+    meta[:, :, 0] = Mc
+    for c, (s, e) in enumerate(chunks):
+        m = e - s
+        bounds[c, :m, 0:3] = node_min[s:e]
+        bounds[c, :m, 3:6] = node_max[s:e]
+        sk = skip[s:e] - s
+        sk = np.where(sk >= m, Mc, sk)  # chunk exit -> padded sentinel
+        meta[c, :m, 0] = sk
+        meta[c, :m, 1] = leaf_start[s:e]
+        meta[c, :m, 2] = leaf_count[s:e]
+
+    tri = _swizzle_tris(bvh.verts)
+    return PallasPack(bounds.reshape(-1), meta.reshape(-1), tri, C)
 
 
 def _kernel(meta_ref, bounds_ref, tmin_ref, rays_ref, tri_ref, t_ref, id_ref,
             tri_scratch, dma_sem):
-    """One packet: 128 rays vs. the whole BVH. Triangle rows live in HBM
-    (tri_ref); each visited leaf's (8, 24) block is DMA'd into tri_scratch."""
+    """One (packet, chunk) grid step: 128 rays vs. one subtree chunk whose
+    node metadata is SMEM-resident. Triangle rows live in HBM (tri_ref); each
+    visited leaf's (8, 128) block is DMA'd into tri_scratch. The output block
+    persists across the (innermost) chunk axis, carrying the running best hit
+    so later chunks are pruned by earlier ones."""
     M = meta_ref.shape[0] // 4
     r = rays_ref[0]  # (8, 128): ox oy oz dx dy dz active pad
     ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
     dx, dy, dz = r[3:4, :], r[4:5, :], r[5:6, :]
     act = r[6:7, :] > 0.5
     t_min = tmin_ref[0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        t_ref[0] = jnp.full((1, LANES), _BIG, jnp.float32)
+        id_ref[0] = jnp.zeros((1, LANES), jnp.int32)
 
     def safe_inv(c):
         return 1.0 / jnp.where(jnp.abs(c) > 1e-20, c, jnp.where(c < 0.0, -1e-20, 1e-20))
@@ -222,32 +312,32 @@ def _kernel(meta_ref, bounds_ref, tmin_ref, rays_ref, tri_ref, t_ref, id_ref,
     _, t_best, best_id = jax.lax.while_loop(
         cond,
         body,
-        (
-            jnp.int32(0),
-            jnp.full((1, LANES), _BIG, jnp.float32),
-            jnp.zeros((1, LANES), jnp.int32),
-        ),
+        (jnp.int32(0), t_ref[0], id_ref[0]),
     )
     t_ref[0] = t_best
     id_ref[0] = best_id
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _traverse(bounds, meta, tri_pack, rays, t_min, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "n_chunks"))
+def _traverse(bounds, meta, tri_pack, rays, t_min, *, n_chunks, interpret=False):
     G = rays.shape[0]
-    M = meta.shape[0]
+    Mc4 = meta.shape[0] // n_chunks
+    Mc8 = bounds.shape[0] // n_chunks
     t_min_arr = jnp.reshape(t_min.astype(jnp.float32), (1,))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(G,),
+        # Chunk axis INNERMOST: the output block for packet i stays resident
+        # in VMEM across its chunk steps (a standard Pallas reduction), while
+        # each chunk's SMEM node blocks stream through.
+        grid=(G, n_chunks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta (M,4)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds (M,8)
+            pl.BlockSpec((Mc4,), lambda i, c: (c,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((Mc8,), lambda i, c: (c,), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # t_min (1,)
             pl.BlockSpec(
-                (1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 8, LANES), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
             ),  # rays
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tri_pack (Tp,24), HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # tri_pack (L,8,128), HBM
         ],
         scratch_shapes=[
             pltpu.VMEM((KMAX, TRI_ROW), jnp.float32),  # one leaf block
@@ -256,8 +346,8 @@ def _traverse(bounds, meta, tri_pack, rays, t_min, *, interpret=False):
         out_specs=[
             # (G, 1, 128) with a (1, 1, 128) block: Mosaic requires the last
             # two block dims to divide (8, 128) or equal the array dims.
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     t_out, id_out = pl.pallas_call(
@@ -289,7 +379,10 @@ def bvh_closest_hit_pallas(
     """
     if packed is None:
         packed = pack_bvh_for_pallas(bvh)
-    bounds, meta, tri_pack = (jnp.asarray(a) for a in packed)
+    bounds = jnp.asarray(packed.bounds)
+    meta = jnp.asarray(packed.meta)
+    tri_pack = jnp.asarray(packed.tri)
+    n_chunks = packed.n_chunks
     bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
 
     N = o.shape[0]
@@ -311,7 +404,8 @@ def bvh_closest_hit_pallas(
     rays = comp.reshape(8, G, LANES).transpose(1, 0, 2)  # (G, 8, 128)
 
     t_out, id_out = _traverse(
-        bounds, meta, tri_pack, rays, jnp.asarray(t_min), interpret=interpret
+        bounds, meta, tri_pack, rays, jnp.asarray(t_min),
+        n_chunks=n_chunks, interpret=interpret,
     )
     t_best = t_out.reshape(-1)[:N].astype(o.dtype)
     best_tri = id_out.reshape(-1)[:N]

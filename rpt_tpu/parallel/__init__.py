@@ -2,6 +2,7 @@ from .sharding import (
     make_ray_mesh,
     make_sharded_diff_fn,
     make_sharded_render_fn,
+    make_sharded_many_fn,
     render_distributed,
     render_pass_sharded,
 )
@@ -11,5 +12,6 @@ __all__ = [
     "make_sharded_render_fn",
     "make_sharded_diff_fn",
     "render_pass_sharded",
+    "make_sharded_many_fn",
     "render_distributed",
 ]

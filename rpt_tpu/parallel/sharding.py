@@ -140,10 +140,71 @@ def make_sharded_diff_fn(scene_data, width: int, height: int, max_bounces: int, 
     return fn
 
 
+def make_sharded_many_fn(scene_data, width: int, height: int, max_bounces: int, mesh: Mesh):
+    """Jitted (camera, base_key, start, n, t_min, ev_scale) -> (sum, sum_sq)
+    accumulating `n` samples per pixel ON DEVICE with the pixel wavefront
+    sharded over `mesh` — the multi-chip analog of make_render_many_fn.
+
+    The per-sample loop runs inside shard_map (one dispatch for the whole
+    batch), so multi-chip rendering pays O(1) host round trips instead of the
+    ~25 ms relay cost per sample the old per-pass loop paid. Sample i uses
+    fold_in(base_key, start+i) before the per-shard fold, identical to the
+    per-pass sharded path, so chunked and unchunked renders are bit-identical.
+    """
+    cache_key = ("many", id(scene_data), width, height, max_bounces, mesh)
+    fn = _SHARD_CACHE.get(cache_key)
+    if fn is not None:
+        return fn
+
+    xg_full, yg_full, dim = pixel_ndc(width, height, scene_data.materials.color.dtype)
+    n_pix = xg_full.shape[0]
+    n_dev = mesh.devices.size
+    pad = (-n_pix) % n_dev
+    xg_full = jnp.pad(xg_full, (0, pad))
+    yg_full = jnp.pad(yg_full, (0, pad))
+    jitter_scale = jnp.asarray(1.0 / dim, xg_full.dtype)
+    dtype = scene_data.materials.color.dtype
+
+    def shard_many(camera, base_key, start, n_samples, xg, yg, t_min, ev_scale):
+        m = xg.shape[0]
+
+        def body(i, acc):
+            s, ss = acc
+            key = jax.random.fold_in(base_key, start + i)
+            colors = _shard_body(
+                scene_data, camera, key, xg, yg, jitter_scale, t_min, ev_scale,
+                max_bounces=max_bounces,
+            )
+            return (s + colors, ss + jnp.sum(colors * colors, axis=-1))
+
+        init = (jnp.zeros((m, 3), dtype), jnp.zeros((m,), dtype))
+        return jax.lax.fori_loop(0, n_samples, body, init)
+
+    body = shard_map(
+        shard_many,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("rays"), P("rays"), P(), P()),
+        out_specs=(P("rays"), P("rays")),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(camera, base_key, start, n_samples, t_min, ev_scale):
+        s, ss = body(camera, base_key, start, n_samples, xg_full, yg_full, t_min, ev_scale)
+        return (
+            s[:n_pix].reshape(height, width, 3),
+            ss[:n_pix].reshape(height, width),
+        )
+
+    _SHARD_CACHE[cache_key] = fn
+    return fn
+
+
 def render_distributed(renderer, mesh: Mesh | None = None):
     """Render a full frame buffer with the wavefront sharded over `mesh`.
 
-    Drop-in distributed variant of Renderer.render_buffer().
+    Drop-in distributed variant of Renderer.render_buffer(). All samples
+    accumulate on device in ONE dispatch (see make_sharded_many_fn).
     """
     from ..buffer import Buffer
 
@@ -151,19 +212,11 @@ def render_distributed(renderer, mesh: Mesh | None = None):
         mesh = make_ray_mesh()
     scene_data, t_min, ev_scale = renderer._pass_args()
     base = jax.random.PRNGKey(renderer.seed)
-    buffer = Buffer.new(renderer.width, renderer.height, renderer.dtype)
-    for i in range(renderer.num_samples):
-        key = jax.random.fold_in(base, i)
-        frame = render_pass_sharded(
-            scene_data,
-            renderer.camera,
-            key,
-            renderer.width,
-            renderer.height,
-            renderer.max_bounces,
-            t_min,
-            ev_scale,
-            mesh,
-        )
-        buffer = buffer.add_samples(frame)
-    return buffer
+    fn = make_sharded_many_fn(
+        scene_data, renderer.width, renderer.height, renderer.max_bounces, mesh
+    )
+    s, ss = fn(
+        renderer.camera, base, jnp.int32(0), jnp.int32(renderer.num_samples),
+        t_min, ev_scale,
+    )
+    return Buffer(sum=s, sum_sq=ss, count=jnp.asarray(renderer.num_samples, jnp.int32))

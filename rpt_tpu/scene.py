@@ -15,6 +15,7 @@ over objects with a running-min HitRecord.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 from typing import List, Optional, Tuple, Union
 
 import numpy as np
@@ -112,20 +113,92 @@ class Scene:
         self.environment = env
 
     def compile(self, dtype=jnp.float32) -> "SceneData":
-        # Structural key: replacing an Object (new shape id), swapping a
-        # Material (frozen dataclass, hashed by value) or any light all miss
-        # the cache; only a byte-identical scene re-uses the compiled data.
-        key = (
-            dtype,
-            tuple((id(o.shape), o.mat) for o in self.objects),
-            tuple(id(l) for l in self.lights),
-            id(self.environment),
-        )
+        # Content-addressed cache key: a digest over every shape's geometry
+        # bytes, materials, lights and environment — so even an *in-place*
+        # mutation (plane.value = ..., mesh.vertices[...] = ...) recompiles,
+        # and id() reuse after GC can never alias a new shape to a stale
+        # entry. Mesh identity (sharing) is folded in as interning slots,
+        # because id-shared meshes compile to the instanced TLAS while
+        # content-equal-but-distinct meshes are baked separately.
+        key = (dtype, _scene_digest(self))
         if self._compiled is not None and self._compiled[0] == key:
             return self._compiled[1]
         data = compile_scene(self, dtype)
         self._compiled = (key, data)
         return data
+
+
+# ---------------------------------------------------------------------------
+# Content digest for the compile cache
+# ---------------------------------------------------------------------------
+
+
+def _fp_bytes(h, arr) -> None:
+    h.update(np.ascontiguousarray(arr, np.float64).tobytes())
+
+
+def _fp_shape(h, shape: Shape, mesh_slots: dict) -> None:
+    """Feed a shape's full content into the digest. Mesh geometry is hashed
+    once per unique object and re-referenced by interning slot, so both the
+    bytes AND the sharing structure (which decides baked-vs-instanced layout)
+    are part of the key."""
+    if isinstance(shape, Transformed):
+        h.update(b"T")
+        _fp_bytes(h, shape.matrix)
+        _fp_shape(h, shape.base, mesh_slots)
+    elif isinstance(shape, Group):
+        h.update(b"G%d:" % len(shape.shapes))
+        for child in shape.shapes:
+            _fp_shape(h, child, mesh_slots)
+    elif isinstance(shape, Sphere):
+        h.update(b"S")
+    elif isinstance(shape, Cube):
+        h.update(b"C")
+    elif isinstance(shape, Plane):
+        h.update(b"P")
+        _fp_bytes(h, shape.normal)
+        _fp_bytes(h, shape.value)
+    elif isinstance(shape, MonomialSurface):
+        h.update(b"M")
+        _fp_bytes(h, (shape.height, shape.exp))
+    elif isinstance(shape, Mesh):
+        slot = mesh_slots.get(id(shape))
+        if slot is None:
+            slot = len(mesh_slots)
+            mesh_slots[id(shape)] = slot
+            h.update(b"m%d:" % slot)
+            _fp_bytes(h, shape.vertices)
+            _fp_bytes(h, shape.normals)
+        else:
+            h.update(b"r%d:" % slot)
+    else:
+        raise TypeError(f"Unsupported shape type: {type(shape)}")
+
+
+def _fp_material(h, mat: Material) -> None:
+    h.update(repr(mat).encode())
+
+
+def _scene_digest(scene: "Scene") -> str:
+    h = hashlib.blake2b(digest_size=16)
+    mesh_slots: dict = {}
+    for obj in scene.objects:
+        h.update(b"O")
+        _fp_shape(h, obj.shape, mesh_slots)
+        _fp_material(h, obj.mat)
+    for light in scene.lights:
+        if isinstance(light, ObjectLight):
+            h.update(b"LO")
+            _fp_shape(h, light.object.shape, mesh_slots)
+            _fp_material(h, light.object.mat)
+        else:
+            h.update(repr(light).encode())
+    env = scene.environment
+    h.update(b"E")
+    _fp_bytes(h, env.color)
+    if env.hdri is not None:
+        h.update(np.ascontiguousarray(env.hdri).tobytes())
+    return h.hexdigest()
 
 
 # ---------------------------------------------------------------------------
