@@ -123,6 +123,41 @@ def _check_pallas_parity(scene_data, camera, t_min):
     _log(f"[child] Pallas parity OK over {int(finite.sum())} hits")
 
 
+def _check_tlas_parity(scene_data, camera, t_min):
+    """On TPU, assert the two-level Pallas packet kernel and the XLA TLAS
+    while_loop agree on a camera wavefront (Mosaic-compiled correctness check
+    for the instanced path)."""
+    import jax
+    import numpy as np
+
+    from rpt_tpu.ops.tlas import instanced_closest_hit
+    from rpt_tpu.ops.tlas_pallas import tlas_closest_hit_pallas
+    from rpt_tpu.renderer import pixel_ndc
+
+    if scene_data.instanced is None or scene_data.instanced_packed is None:
+        _log("[child] no Pallas-eligible TLAS; skipping parity check")
+        return
+    xg, yg, _ = pixel_ndc(160, 100)
+    o, d = camera.cast_rays(xg, yg, jax.random.PRNGKey(0))
+
+    @jax.jit
+    def both(o, d):
+        hp = tlas_closest_hit_pallas(
+            scene_data.instanced, o, d, t_min, packed=scene_data.instanced_packed
+        )
+        hx = instanced_closest_hit(scene_data.instanced, o, d, t_min)
+        return hp.t, hx.t
+
+    tp, tx = jax.device_get(both(o, d))
+    finite = np.isfinite(tx)
+    assert (np.isfinite(tp) == finite).mean() > 0.999, "hit/miss mismatch"
+    diff = np.abs(tp[finite] - tx[finite])
+    assert diff.size == 0 or np.percentile(diff, 99.9) < 1e-3, (
+        f"TLAS Pallas vs XLA t mismatch: p99.9={np.percentile(diff, 99.9)}"
+    )
+    _log(f"[child] TLAS Pallas parity OK over {int(finite.sum())} hits")
+
+
 def measure(platform: str, workload: str) -> None:
     """Child-process entry: run one workload and print its JSON line."""
     import jax
@@ -149,6 +184,8 @@ def measure(platform: str, workload: str) -> None:
 
     if platform == "tpu" and workload == "teapot":
         _check_pallas_parity(scene_data, camera, t_min)
+    if platform == "tpu" and workload == "fractal_teapots":
+        _check_tlas_parity(scene_data, camera, t_min)
 
     base = jax.random.PRNGKey(0)
     fn = make_render_many_fn(scene_data, width, height, bounces)

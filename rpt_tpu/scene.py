@@ -45,6 +45,11 @@ from .ops.bvh_pallas import (
     pallas_eligible,
 )
 from .ops.tlas import InstancedMeshes, build_instanced, instanced_closest_hit
+from .ops.tlas_pallas import (
+    pack_tlas_for_pallas,
+    tlas_closest_hit_pallas,
+    tlas_pallas_eligible,
+)
 from .shapes import (
     Cube,
     Group,
@@ -256,6 +261,7 @@ class SceneData:
     bvh: Optional[BvhData]  # large meshes, BVH traversal
     bvh_packed: Optional[tuple]  # Pallas packet-kernel layout of `bvh`
     instanced: Optional[InstancedMeshes]  # shared/instanced meshes, TLAS+BLAS
+    instanced_packed: Optional[tuple]  # Pallas two-level kernel layout
     lights: tuple  # static tuple of *LightData pytrees
     environment: Environment
 
@@ -344,9 +350,18 @@ class SceneData:
                 bvh_hit = bvh_closest_hit(self.bvh, o, d, t_min, active=active)
             hit = ops.merge_hits(hit, bvh_hit)
         if self.instanced is not None:
-            hit = ops.merge_hits(
-                hit, instanced_closest_hit(self.instanced, o, d, t_min, active=active)
-            )
+            # Two-level packet kernel on TPU (zero per-ray gathers); XLA
+            # while_loop fallback off TPU or past the SMEM budget.
+            if self.instanced_packed is not None and jax.default_backend() == "tpu":
+                inst_hit = tlas_closest_hit_pallas(
+                    self.instanced, o, d, t_min, active=active,
+                    packed=self.instanced_packed,
+                )
+            else:
+                inst_hit = instanced_closest_hit(
+                    self.instanced, o, d, t_min, active=active
+                )
+            hit = ops.merge_hits(hit, inst_hit)
         if active is not None:
             hit = ops.Hit(
                 t=jnp.where(active, hit.t, ops.INF),
@@ -472,6 +487,7 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
     # every mesh is used once and the total stays small (cheapest traversal);
     # shared geometry or very large bakes go through the instanced TLAS+BLAS.
     instanced = None
+    instanced_packed = None
     if mesh_uses:
         unique_ids = {id(m) for m, _, _ in mesh_uses}
         shared = len(unique_ids) < len(mesh_uses)
@@ -485,6 +501,8 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
                     uniq.append(m)
             instances = [(slot[id(m)], matrix, mid) for m, matrix, mid in mesh_uses]
             instanced = build_instanced(uniq, instances, dtype)
+            if tlas_pallas_eligible(instanced):
+                instanced_packed = pack_tlas_for_pallas(instanced)
         else:
             for m, matrix, mid in mesh_uses:
                 verts, norms = _bake_mesh(m, matrix)
@@ -553,6 +571,7 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
         bvh=bvh,
         bvh_packed=bvh_packed,
         instanced=instanced,
+        instanced_packed=instanced_packed,
         lights=lights,
         environment=scene.environment,
     )
