@@ -14,8 +14,19 @@ the firefly clamp at every level — numerically identical to the reference's
 post-recursion clamp, which cannot be expressed as a running forward product.
 
 Terminated lanes (miss / invalid sample) simply carry zero weights: the
-reverse fold multiplies any junk deeper values by 0, so no compaction is
-needed for correctness (compaction is a later perf optimization).
+reverse fold multiplies any junk deeper values by 0, so compaction is never
+needed for correctness.
+
+Stream compaction (perf, deep bounces): at depth >= 1 the wavefront can be
+SORTED so live lanes pack to the front (`compact=True`). Dead lanes then fill
+whole 128-ray packets, and the Pallas BVH/TLAS kernels' per-packet while_loops
+exit after a handful of skip steps for those packets, instead of every packet
+carrying a few live lanes through the full traversal. The sort + unsort are
+one gather each per depth — O(N log N) once, vs. the masked traversal work it
+removes. This only pays on packet-based traversal (Pallas, on TPU); the XLA
+fallbacks advance the whole wavefront in lockstep where order is irrelevant,
+and brute-force primitive batches cost the same either way — so `compact=None`
+(auto) enables it exactly when a Pallas-packed mesh structure is present.
 """
 
 from __future__ import annotations
@@ -30,6 +41,45 @@ from .utils.vmath import dot
 
 __all__ = ["trace_paths", "FIREFLY_CLAMP"]
 
+
+def _compaction_perm(active: jnp.ndarray):
+    """Stable live-first partition WITHOUT a sort: two prefix sums give each
+    lane its slot (`pos`, the inverse permutation), one scatter of arange
+    gives the forward permutation. O(N) — cheaper than argsort on TPU.
+    Returns (perm, pos) with sorted[i] = orig[perm[i]] and pos = perm^-1.
+    """
+    n = active.shape[0]
+    n_alive = jnp.sum(active)
+    pos_alive = jnp.cumsum(active) - 1
+    pos_dead = n_alive + jnp.cumsum(~active) - 1
+    pos = jnp.where(active, pos_alive, pos_dead).astype(jnp.int32)
+    perm = (
+        jnp.zeros((n,), jnp.int32).at[pos].set(jnp.arange(n, dtype=jnp.int32))
+    )
+    return perm, pos
+
+
+def _intersect_compacted(scene, o, d, t_min, active):
+    """scene.intersect with the wavefront partitioned live-first.
+
+    One gather in (rays), one gather out (hit fields); the traversal kernels
+    in between see dead lanes concentrated into all-dead packets whose
+    per-packet while_loops terminate in a few skip steps.
+    """
+    perm, pos = _compaction_perm(active)
+    hit = scene.intersect(o[perm], d[perm], t_min, active=active[perm])
+    return jax.tree_util.tree_map(lambda x: x[pos], hit)
+
+
+def _auto_compact(scene, max_bounces: int) -> bool:
+    """Compaction pays only where traversal is per-packet (the Pallas
+    kernels on TPU) and there are depths with partially-dead wavefronts."""
+    has_packets = (
+        getattr(scene, "bvh_packed", None) is not None
+        or getattr(scene, "instanced_packed", None) is not None
+    )
+    return bool(has_packets) and max_bounces >= 1 and jax.default_backend() == "tpu"
+
 # renderer.rs:15
 FIREFLY_CLAMP = 100.0
 # Guard: the reference divides by pdf with no check (renderer.rs:162); a pdf of
@@ -38,7 +88,7 @@ FIREFLY_CLAMP = 100.0
 _PDF_EPS = 1e-10
 
 
-def sample_lights(scene, mat, pos, n, wo, key, t_min, found) -> jnp.ndarray:
+def sample_lights(scene, mat, pos, n, wo, key, t_min, found, compact=False) -> jnp.ndarray:
     """Next-event estimation against every light (renderer.rs:177-204).
 
     One shadow ray per (ray, light) per bounce. `found` masks rays that
@@ -57,7 +107,10 @@ def sample_lights(scene, mat, pos, n, wo, key, t_min, found) -> jnp.ndarray:
         intensity, wi, dist = light.illuminate(k_i, pos)
         # Shadow rays only matter for lanes that hit a surface; dead lanes
         # park immediately inside the BVH/TLAS traversal.
-        shadow = scene.intersect(pos, wi, t_min, active=found)
+        if compact:
+            shadow = _intersect_compacted(scene, pos, wi, t_min, found)
+        else:
+            shadow = scene.intersect(pos, wi, t_min, active=found)
         visible = (~shadow.valid) | (shadow.t > dist)
         f = bsdf(mat, n, wo, wi)
         contrib = f * intensity * dot(wi, n)[..., None]
@@ -73,6 +126,8 @@ def trace_paths(
     max_bounces: int,
     t_min: float,
     firefly_clamp: float = FIREFLY_CLAMP,
+    compact: bool | None = None,
+    want_stats: bool = False,
 ) -> jnp.ndarray:
     """Monte Carlo radiance estimate for N camera rays; returns (N, 3).
 
@@ -80,11 +135,20 @@ def trace_paths(
     + NEE at each vertex, BSDF-importance-sampled continuation with the
     one-sample-MIS mixture pdf, no Russian roulette, per-channel firefly clamp
     on each indirect contribution.
+
+    `compact`: partition each post-camera wavefront live-first so dead lanes
+    form all-dead packets (see module docstring). None = auto.
+    `want_stats`: also return {"found_frac", "cont_frac"} per depth — the
+    live-lane occupancy counters behind rpt_tpu.profiling.depth_stats.
     """
     scene = scene.to_device()
+    if compact is None:
+        compact = _auto_compact(scene, max_bounces)
     locals_per_depth = []
     weights_per_depth = []
     active = jnp.ones(o.shape[0], bool)
+    found_frac = []
+    cont_frac = []
 
     for depth in range(max_bounces + 1):
         k_depth = jax.random.fold_in(key, depth)
@@ -92,6 +156,8 @@ def trace_paths(
 
         if depth == 0:
             hit = scene.intersect(o, d, t_min)
+        elif compact:
+            hit = _intersect_compacted(scene, o, d, t_min, active)
         else:
             # Dead lanes (missed / invalid sample at a previous depth) park
             # inside the BVH/TLAS traversal loops via the active mask. (A
@@ -107,9 +173,13 @@ def trace_paths(
         wo = -d
         mat = scene.materials.gather(hit.mat_id)
 
+        if want_stats:
+            found_frac.append(jnp.mean(found.astype(jnp.float32)))
+
         emitted = mat.emittance[:, None] * mat.color
         direct = sample_lights(
-            scene, mat, pos, hit.normal, wo, k_lights, t_min, found
+            scene, mat, pos, hit.normal, wo, k_lights, t_min, found,
+            compact=compact,
         )
         local = jnp.where(found[:, None], emitted + direct, env)
         locals_per_depth.append(local)
@@ -132,10 +202,20 @@ def trace_paths(
             o = pos
             d = wi
             active = ok
+            if want_stats:
+                cont_frac.append(jnp.mean(ok.astype(jnp.float32)))
 
     # Reverse fold with the per-level clamp (renderer.rs:162-167)
     radiance = locals_per_depth[-1]
     for depth in range(max_bounces - 1, -1, -1):
         indirect = jnp.minimum(weights_per_depth[depth] * radiance, firefly_clamp)
         radiance = locals_per_depth[depth] + indirect
+    if want_stats:
+        stats = {
+            "found_frac": jnp.stack(found_frac),
+            "cont_frac": (
+                jnp.stack(cont_frac) if cont_frac else jnp.zeros((0,), jnp.float32)
+            ),
+        }
+        return radiance, stats
     return radiance

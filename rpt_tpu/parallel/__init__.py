@@ -6,6 +6,12 @@ from .sharding import (
     render_distributed,
     render_pass_sharded,
 )
+from .multihost import (
+    init_multihost,
+    is_multihost,
+    make_global_ray_mesh,
+    render_multihost,
+)
 
 __all__ = [
     "make_ray_mesh",
@@ -14,4 +20,8 @@ __all__ = [
     "render_pass_sharded",
     "make_sharded_many_fn",
     "render_distributed",
+    "init_multihost",
+    "is_multihost",
+    "make_global_ray_mesh",
+    "render_multihost",
 ]

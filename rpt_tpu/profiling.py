@@ -1,0 +1,129 @@
+"""Profiling & observability: XLA traces, rays/s counters, wavefront
+occupancy.
+
+SURVEY.md §5 requires profiler-grade observability beyond the reference's
+indicatif progress bar (/root/reference/src/renderer.rs:110-115): on TPU the
+tools are (a) `jax.profiler` device traces viewable in XProf/TensorBoard,
+(b) throughput counters defined the same way the reference counts work (one
+camera ray per bounce depth plus one shadow ray per non-ambient light per
+vertex, renderer.rs:145-204), and (c) per-depth live-lane occupancy of the
+wavefront — the quantity that decides whether stream compaction pays
+(rpt_tpu.integrator module docstring).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "device_trace",
+    "rays_per_sample",
+    "measure_rays_per_sec",
+    "depth_stats",
+]
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str):
+    """Capture a device/XLA trace for everything inside the block.
+
+    View with `tensorboard --logdir <logdir>` (Profile tab) or XProf. Thin
+    wrapper so callers don't import jax.profiler directly:
+
+        with rpt_tpu.profiling.device_trace("/tmp/trace"):
+            renderer.render()
+    """
+    with jax.profiler.trace(logdir):
+        yield
+
+
+def _n_shadow_lights(scene_data) -> int:
+    """Lights that cost a shadow ray per path vertex (all but ambient)."""
+    from .lights import AmbientLightData
+
+    return sum(
+        0 if isinstance(l, AmbientLightData) else 1 for l in scene_data.lights
+    )
+
+
+def rays_per_sample(scene_data, max_bounces: int) -> int:
+    """Rays traced per pixel per sample: one closest-hit per depth plus one
+    shadow ray per shadow-casting light per depth (renderer.rs:145-204).
+    This is the ray accounting used for every rays/s number in this repo."""
+    return (max_bounces + 1) * (1 + _n_shadow_lights(scene_data))
+
+
+def measure_rays_per_sec(renderer, warmup: int = 2, passes: int = 8) -> dict:
+    """Time `passes` full-frame samples through the renderer's fused
+    accumulation loop and return throughput counters.
+
+    Returns {"rays_per_sec", "samples_per_sec", "seconds", "rays"}.
+    """
+    from .renderer import make_render_many_fn
+
+    scene_data, t_min, ev_scale = renderer._pass_args()
+    fn = make_render_many_fn(
+        scene_data, renderer.width, renderer.height, renderer.max_bounces
+    )
+    base = jax.random.PRNGKey(renderer.seed)
+
+    def run(start, n):
+        return jax.block_until_ready(
+            fn(renderer.camera, base, jnp.int32(start), jnp.int32(n), t_min, ev_scale)
+        )
+
+    run(0, warmup)
+    t0 = time.perf_counter()
+    run(warmup, passes)
+    dt = time.perf_counter() - t0
+    rays = (
+        renderer.width
+        * renderer.height
+        * rays_per_sample(scene_data, renderer.max_bounces)
+        * passes
+    )
+    return {
+        "rays_per_sec": rays / dt,
+        "samples_per_sec": passes / dt,
+        "seconds": dt,
+        "rays": rays,
+    }
+
+
+def depth_stats(renderer, seed: int | None = None) -> dict:
+    """Per-depth wavefront occupancy for one 1-spp pass.
+
+    Returns numpy arrays:
+      found_frac[d] — fraction of lanes that hit a surface at depth d
+      cont_frac[d]  — fraction still alive entering depth d+1 (after the
+                      BSDF sample; the lanes every deeper traversal carries)
+    """
+    from .integrator import trace_paths
+    from .renderer import pixel_ndc
+
+    scene_data, t_min, ev_scale = renderer._pass_args()
+    xg, yg, dim = pixel_ndc(
+        renderer.width, renderer.height, scene_data.materials.color.dtype
+    )
+    key = jax.random.PRNGKey(renderer.seed if seed is None else seed)
+    k_jit, k_cam, k_trace = jax.random.split(key, 3)
+    jitter = jax.random.uniform(
+        k_jit, (2, xg.shape[0]), xg.dtype, minval=-1.0 / dim, maxval=1.0 / dim
+    )
+
+    @jax.jit
+    def run():
+        o, d = renderer.camera.cast_rays(xg + jitter[0], yg + jitter[1], k_cam)
+        _, stats = trace_paths(
+            scene_data, o, d, k_trace, renderer.max_bounces, t_min,
+            want_stats=True,
+        )
+        return stats
+
+    stats = jax.device_get(run())
+    return {k: np.asarray(v) for k, v in stats.items()}

@@ -1,0 +1,102 @@
+"""Stream compaction and wavefront occupancy stats.
+
+Compaction is a pure execution-order change: RNG draws and shading happen in
+original lane order; only scene.intersect sees the live-first partition, and
+its per-ray results are order-independent. So compact=True must be
+BIT-identical to compact=False — that is the whole test."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rpt_tpu import (
+    Camera,
+    Material,
+    Object,
+    ObjectLight,
+    Renderer,
+    Scene,
+    hex_color,
+    plane,
+    sphere,
+)
+from rpt_tpu.integrator import _compaction_perm, trace_paths
+from rpt_tpu.profiling import depth_stats, measure_rays_per_sec, rays_per_sample
+from rpt_tpu.renderer import pixel_ndc
+from test_tlas_pallas import _build_instanced_scene
+
+
+def _mesh_scene():
+    """Sphere + floor + mesh instances + area light: exercises every
+    traversal path with a wavefront that actually dies off with depth."""
+    meshes, instances = _build_instanced_scene(2, 6, tris_per_mesh=40)
+    scene = Scene()
+    from rpt_tpu.shapes import Mesh, Transformed
+
+    # Instanced meshes enter via shared Mesh objects + transforms.
+    mesh_objs = [
+        Mesh(vertices=np.asarray(m.vertices), normals=np.asarray(m.normals))
+        for m in meshes
+    ]
+    for mesh_idx, mat4, _ in instances:
+        scene.add(
+            Object(Transformed(mesh_objs[mesh_idx], np.asarray(mat4))).material(
+                Material.diffuse(hex_color(0xB0B0B0))
+            )
+        )
+    scene.add(Object(sphere()).material(Material.specular(hex_color(0xB7410E), 0.2)))
+    scene.add(
+        Object(plane([0.0, 1.0, 0.0], -1.0)).material(
+            Material.diffuse(hex_color(0x777777))
+        )
+    )
+    scene.add(
+        ObjectLight(
+            Object(
+                sphere().scale([2.0] * 3).translate([0.0, 14.0, 0.0])
+            ).material(Material.light(hex_color(0xFFFFFF), 30.0))
+        )
+    )
+    cam = Camera.look_at([-4.0, 5.0, 9.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0], np.pi / 4)
+    return scene, cam
+
+
+def test_compaction_perm_partitions():
+    active = jnp.asarray(np.random.default_rng(0).random(1000) < 0.3)
+    perm, pos = _compaction_perm(active)
+    n_alive = int(jnp.sum(active))
+    sorted_active = np.asarray(active)[np.asarray(perm)]
+    assert sorted_active[:n_alive].all() and not sorted_active[n_alive:].any()
+    # pos is the exact inverse of perm
+    np.testing.assert_array_equal(np.asarray(perm)[np.asarray(pos)], np.arange(1000))
+    # stability: relative order preserved within each class
+    orig_alive = np.flatnonzero(np.asarray(active))
+    np.testing.assert_array_equal(np.asarray(perm)[:n_alive], orig_alive)
+
+
+def test_compacted_trace_bit_identical():
+    scene, cam = _mesh_scene()
+    sd = scene.compile()
+    xg, yg, dim = pixel_ndc(48, 32)
+    key = jax.random.PRNGKey(7)
+    o, d = cam.cast_rays(xg, yg, key)
+
+    plain = trace_paths(sd, o, d, key, 3, 1e-3, compact=False)
+    packed = trace_paths(sd, o, d, key, 3, 1e-3, compact=True)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(packed))
+
+
+def test_depth_stats_decay_and_counters():
+    scene, cam = _mesh_scene()
+    r = Renderer(scene, cam, width=48, height=32, max_bounces=4, num_samples=1)
+    stats = depth_stats(r)
+    ff, cf = stats["found_frac"], stats["cont_frac"]
+    assert ff.shape == (5,) and cf.shape == (4,)
+    assert np.all((ff >= 0) & (ff <= 1)) and np.all((cf >= 0) & (cf <= 1))
+    # Continuation fraction is non-increasing: lanes only ever die.
+    assert np.all(np.diff(cf) <= 1e-6)
+    # Ray accounting: 1 closest-hit + 1 shadow light per depth.
+    assert rays_per_sample(r.scene.compile(), 4) == 5 * 2
+
+    meter = measure_rays_per_sec(r, warmup=1, passes=2)
+    assert meter["rays_per_sec"] > 0 and meter["rays"] == 48 * 32 * 10 * 2
