@@ -59,12 +59,14 @@ _BIG = 3.0e38  # in-kernel miss sentinel (avoid inf arithmetic)
 
 # SMEM budget per chunk: node metadata lives in SMEM as FLAT 1-D arrays (2-D
 # SMEM windows are lane-padded to 128, blowing a (M,4) i32 array up 32x past
-# the ~1 MB SMEM budget); 48 B/node flat => ~18k nodes/chunk. Meshes with more
-# nodes are split into subtree chunks streamed through SMEM (see module doc).
+# the ~1 MB SMEM budget); 48 B/node flat, and Pallas DOUBLE-BUFFERS streamed
+# blocks (chunk k+1 prefetches while k runs), so the real cost is 96 B/node:
+# 9k nodes/chunk = 864 KB of the 1 MB SMEM. Meshes with more nodes are split
+# into subtree chunks streamed through SMEM (see module doc).
 # Triangles stay in HBM — each visited leaf's 8-row block is DMA'd into a
 # 4 KB VMEM scratch on demand — but their packed rows cost 512 B/tri of HBM,
 # so MAX_TRIS caps the total at ~1 GB.
-CHUNK_NODES = 18_000
+CHUNK_NODES = 9_000
 MAX_CHUNKS = 64
 MAX_TRIS = 2_000_000
 
@@ -178,6 +180,12 @@ def pack_bvh_for_pallas(bvh: BvhData):
     chunks = _chunk_subtrees(skip, is_leaf, CHUNK_NODES)
     C = len(chunks)
     Mc = max(e - s for s, e in chunks)
+    if C > 1:
+        # Mosaic constraint: a rank-1 SMEM block must either equal the whole
+        # array or have a 128-multiple block size. Multi-chunk layouts use
+        # per-chunk blocks of (Mc*4,) i32 and (Mc*8,) f32, so round Mc up to
+        # a multiple of 32; padded nodes are unreachable (skip -> Mc).
+        Mc = -(-Mc // 32) * 32
 
     bounds = np.zeros((C, Mc, 8), np.float32)
     # Padded nodes: inverted boxes (min=+BIG, max=-BIG) never pass the slab
