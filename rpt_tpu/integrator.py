@@ -17,16 +17,15 @@ Terminated lanes (miss / invalid sample) simply carry zero weights: the
 reverse fold multiplies any junk deeper values by 0, so compaction is never
 needed for correctness.
 
-Stream compaction (perf, deep bounces): at depth >= 1 the wavefront can be
-SORTED so live lanes pack to the front (`compact=True`). Dead lanes then fill
-whole 128-ray packets, and the Pallas BVH/TLAS kernels' per-packet while_loops
-exit after a handful of skip steps for those packets, instead of every packet
-carrying a few live lanes through the full traversal. The sort + unsort are
-one gather each per depth — O(N log N) once, vs. the masked traversal work it
-removes. This only pays on packet-based traversal (Pallas, on TPU); the XLA
-fallbacks advance the whole wavefront in lockstep where order is irrelevant,
-and brute-force primitive batches cost the same either way — so `compact=None`
-(auto) enables it exactly when a Pallas-packed mesh structure is present.
+Stream compaction (`compact=True`): at depth >= 1 the wavefront can be
+partitioned live-first so dead lanes fill whole 128-ray packets, which then
+exit the Pallas per-packet while_loops in a few skip steps. MEASURED AND
+REJECTED as the default: path death is spatially coherent, so the same
+all-dead packets already form under plain masking, and the partition's
+per-depth prefix-sum + gathers cost more than they save (TPU v5e A/B at
+6 bounces: 0.97x on dragon, 0.69x on teapot-glass — see _auto_compact and
+tools/compaction_ab.py). The flag remains for scenes with genuinely
+incoherent death; it is bit-identical to the masked path by construction.
 """
 
 from __future__ import annotations
@@ -72,13 +71,16 @@ def _intersect_compacted(scene, o, d, t_min, active):
 
 
 def _auto_compact(scene, max_bounces: int) -> bool:
-    """Compaction pays only where traversal is per-packet (the Pallas
-    kernels on TPU) and there are depths with partially-dead wavefronts."""
-    has_packets = (
-        getattr(scene, "bvh_packed", None) is not None
-        or getattr(scene, "instanced_packed", None) is not None
-    )
-    return bool(has_packets) and max_bounces >= 1 and jax.default_backend() == "tpu"
+    """MEASURED OFF. Compaction could only pay where traversal is per-packet
+    (the Pallas kernels) with live lanes scattered across packets — but
+    wavefront death is spatially COHERENT (adjacent pixels' paths die
+    together), so all-dead packets already early-exit under plain masking and
+    the partition's per-depth prefix-sum + 6 wavefront gathers are pure
+    overhead. A/B on TPU v5e (tools/compaction_ab.py, 6 bounces):
+      dragon 960x540 (cont_frac 0.20→0.009):      compacted/masked = 0.97x
+      teapot-glass 800x800 (cont_frac 0.09→0.003): compacted/masked = 0.69x
+    The flag stays available (and parity-tested) for experimentation."""
+    return False
 
 # renderer.rs:15
 FIREFLY_CLAMP = 100.0
