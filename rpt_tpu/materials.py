@@ -179,18 +179,40 @@ def _safe(x, eps=_TINY):
     return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
 
 
-def _beckmann_d(nh2, m2):
+def _sin2_nh(n, h):
+    """sin^2 of the angle between unit n and h via the cross product.
+
+    1 - (n.h)^2 is catastrophically ill-conditioned near theta=0: in f32,
+    cos^2 quantizes in steps of ~6e-8, so for mirror-like roughness
+    (m2 = 1e-8, e.g. Material.clear(1.5, 1e-4)) the Beckmann exponent
+    -tan^2/m2 jumps in steps of ~6 — and because bsdf() and the MIS pdf hit
+    different steps, their ratio exploded by e^±6, which the firefly clamp
+    then converted into a glowing glass ball. |n x h|^2 is LINEAR in theta,
+    so its relative error stays ~eps and the exponent is smooth."""
+    c = jnp.cross(n, h)
+    return jnp.clip(dot(c, c), 0.0, 1.0)
+
+
+def _beckmann_exponent(n, h, m2):
+    """-tan^2(theta_h)/m2 from the well-conditioned sin^2, clamped for f32."""
+    sin2 = _sin2_nh(n, h)
+    cos2 = jnp.maximum(1.0 - sin2, 1e-12)
+    return jnp.maximum(-sin2 / (cos2 * m2), -80.0), cos2
+
+
+def _beckmann_d(n, h, m2):
     """Beckmann microfacet distribution D (material.rs:141-143).
 
-    Evaluated in log space: the denominator m2*pi*nh2^2 underflows f32 for
+    Evaluated in log space: the denominator m2*pi*cos^4 underflows f32 for
     grazing half-vectors, and its reverse-mode rule divides by its square ->
     inf * masked-zero = NaN. exp(expo - log_denom) is algebraically identical
     and stays finite in both passes. The exponent clamp at -80 makes
-    degenerate lanes exactly-zero with zero gradient.
+    degenerate lanes exactly-zero with zero gradient. The exponent itself
+    comes from the cross-product sin^2 (see _sin2_nh) so mirror-like
+    roughness stays numerically smooth in f32.
     """
-    nh2 = jnp.maximum(nh2, 1e-12)
-    expo = jnp.maximum((nh2 - 1.0) / (m2 * nh2), -80.0)
-    log_denom = jnp.log(m2 * _PI) + 2.0 * jnp.log(nh2)
+    expo, cos2 = _beckmann_exponent(n, h, m2)
+    log_denom = jnp.log(m2 * _PI) + 2.0 * jnp.log(cos2)
     return jnp.exp(jnp.minimum(expo - log_denom, 80.0))
 
 
@@ -220,7 +242,7 @@ def bsdf(mat: MatParams, n: jnp.ndarray, wo: jnp.ndarray, wi: jnp.ndarray) -> jn
     h = normalize(wi + wo)
     wo_h = dot(wo, h)
     n_h = dot(n, h)
-    d = _beckmann_d(n_h * n_h, m2)
+    d = _beckmann_d(n, h, m2)
 
     # Total internal reflection check (material.rs:147-149)
     sin_t = safe_sqrt(1.0 - wo_h * wo_h)
@@ -241,7 +263,7 @@ def bsdf(mat: MatParams, n: jnp.ndarray, wo: jnp.ndarray, wi: jnp.ndarray) -> jn
     wi_h2 = dot(wi, h2)
     wo_h2 = dot(wo, h2)
     n_h2 = dot(n, h2)
-    d2 = _beckmann_d(n_h2 * n_h2, m2)
+    d2 = _beckmann_d(n, h2, m2)
     fres2 = f0 + (1.0 - f0) * _pow5(1.0 - jnp.abs(wi_h2))[..., None]
     g2 = jnp.minimum(jnp.abs(n_wi * n_h2), jnp.abs(n_wo * n_h2))
     g2 = jnp.minimum(2.0 * g2 / _safe(jnp.abs(wo_h2)), 1.0)
@@ -262,14 +284,15 @@ def bsdf(mat: MatParams, n: jnp.ndarray, wo: jnp.ndarray, wi: jnp.ndarray) -> jn
 # ---------------------------------------------------------------------------
 
 
-def _beckmann_pdf(h_dot_n, m2):
-    """Half-vector pdf p(h) = exp(-tan^2/m2) / (pi m2 cos^3) (material.rs:256-262)."""
-    cos_t = jnp.maximum(jnp.abs(h_dot_n), 1e-6)
-    sin_t = safe_sqrt(1.0 - cos_t * cos_t)
-    tan2 = (sin_t / cos_t) ** 2
-    expo = jnp.maximum(-tan2 / m2, -80.0)
-    # Log-space for the same f32-underflow reason as _beckmann_d
-    log_denom = jnp.log(_PI * m2) + 3.0 * jnp.log(cos_t)
+def _beckmann_pdf(n, h, m2):
+    """Half-vector pdf p(h) = exp(-tan^2/m2) / (pi m2 cos^3) (material.rs:256-262).
+
+    Log-space for the same f32-underflow reason as _beckmann_d, and the same
+    cross-product sin^2 so the pdf lands on the SAME exponent value as the D
+    in bsdf() — their ratio (the path weight) stays smooth even at
+    mirror-like roughness where cos^2 quantizes in f32."""
+    expo, cos2 = _beckmann_exponent(n, h, m2)
+    log_denom = jnp.log(_PI * m2) + 1.5 * jnp.log(cos2)
     return jnp.exp(jnp.minimum(expo - log_denom, 80.0))
 
 
@@ -331,7 +354,7 @@ def sample_f(
     # Mixture pdf (material.rs:290-311)
     n_wi = dot(wi, n)
     hs = normalize(wi + wo)
-    p_spec = f_est * _beckmann_pdf(dot(hs, n), m2) / _safe(4.0 * jnp.abs(dot(hs, wo)))
+    p_spec = f_est * _beckmann_pdf(n, hs, m2) / _safe(4.0 * jnp.abs(dot(hs, wo)))
 
     p_diff = (1.0 - f_est) * jnp.maximum(n_wi, 0.0) / _PI
 
@@ -339,7 +362,7 @@ def sample_f(
     ht_wo = dot(ht, wo)
     ht_wi = dot(ht, wi)
     jac = jnp.abs(ht_wo) / _safe((eta_t * ht_wi + ht_wo) ** 2)
-    p_trans = (1.0 - f_est) * _beckmann_pdf(dot(ht, n), m2) * jac
+    p_trans = (1.0 - f_est) * _beckmann_pdf(n, ht, m2) * jac
     opposite = (n_wo >= 0.0) != (n_wi >= 0.0)
     p_trans = jnp.where(opposite, p_trans, 0.0)
 

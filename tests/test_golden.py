@@ -46,6 +46,43 @@ def _render(name, spp=None):
             [-2.5, 4.0, 6.5], [0.0, -0.25, 0.0], [0.0, 1.0, 0.0], math.pi / 4
         )
         eps = 1e-3
+    elif name == "teapot":
+        # Mesh-path golden: the teapot OBJ through the BVH (teapot.rs:15-27).
+        from teapot import build_scene
+
+        scene = build_scene()
+        cam = Camera()
+        eps = 1e-3
+    elif name == "glass":
+        # Transmission-lobe golden (material.rs:173-214 BTDF).
+        import glass as glass_mod  # examples/glass.py builds inline in main()
+        from rpt_tpu import (
+            Environment, Material, Object, ObjectLight, Scene, hex_color,
+            plane, sphere,
+        )
+
+        scene = Scene()
+        scene.add(Object(sphere()).material(Material.clear(1.5, 0.0001)))
+        scene.add(
+            Object(sphere().scale([0.4] * 3).translate([-2.0, -0.6, -1.5]))
+            .material(Material.diffuse(hex_color(0xBC0000)))
+        )
+        scene.add(
+            Object(plane([0.0, 1.0, 0.0], -1.0)).material(
+                Material.diffuse(hex_color(0xAAAAAA))
+            )
+        )
+        scene.add(
+            ObjectLight(
+                Object(sphere().scale([2.0] * 3).translate([4.0, 10.0, 4.0]))
+                .material(Material.light(hex_color(0xFFFFFF), 50.0))
+            )
+        )
+        scene.set_environment(Environment.from_color((0.1, 0.12, 0.15)))
+        cam = Camera.look_at(
+            [0.0, 1.2, 5.5], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0], math.pi / 5
+        )
+        eps = 1e-3
     else:
         from cornell import build_scene, make_camera
 
@@ -60,7 +97,7 @@ def _render(name, spp=None):
     return img, g
 
 
-@pytest.mark.parametrize("name", ["sphere", "cornell"])
+@pytest.mark.parametrize("name", ["sphere", "cornell", "glass", "teapot"])
 def test_golden_fast_global_mean(name):
     """Cheap default-suite variant: 48 spp, global + block means only.
 
@@ -78,7 +115,7 @@ def test_golden_fast_global_mean(name):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("name", ["sphere", "cornell"])
+@pytest.mark.parametrize("name", ["sphere", "cornell", "glass", "teapot"])
 def test_golden_distribution_parity(name):
     img, g = _render(name)
     assert np.isfinite(img).all()

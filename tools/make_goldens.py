@@ -111,6 +111,51 @@ def cornell_scene():
     return sc, cam
 
 
+def teapot_scene():
+    """teapot.rs:15-27: metallic teapot OBJ + gray floor + ambient/point
+    light — golden coverage for the MESH path (kd-tree in the reference, BVH
+    packet kernels here). The transform is baked host-side (uniform scale, so
+    normals are unchanged)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from rpt_tpu.io.obj import load_obj
+
+    mesh = load_obj("/root/reference/examples/teapot.obj")
+    verts = np.asarray(mesh.vertices, np.float64) * 0.5 + np.array([0.0, -1.0, 0.0])
+    norms = np.asarray(mesh.normals, np.float64)
+    sc = RefScene()
+    sc.objects.append(ObjectEntry(Triangles(verts, norms),
+                                  Material.metallic(hex_color(0xFF0000), 0.4)))
+    sc.objects.append(ObjectEntry(Plane([0.0, 1.0, 0.0], -1.0),
+                                  Material.diffuse(hex_color(0xAAAAAA))))
+    sc.lights.append(("ambient", np.array([0.02, 0.02, 0.02])))
+    sc.lights.append(("point", np.array([60.0, 60.0, 60.0]), np.array([0.0, 5.0, 5.0])))
+    cam = dict(eye=[0.0, 0.0, 10.0], direction=[0.0, 0.0, -1.0],
+               up=[0.0, 1.0, 0.0], fov=np.pi / 6)
+    return sc, cam
+
+
+def glass_scene():
+    """examples/glass.py (glass.rs-class): clear dielectric sphere at 6
+    bounces — golden coverage for the TRANSMISSION lobe (material.rs:173-214
+    BTDF + refraction sampling at 272-287)."""
+    sc = RefScene()
+    sc.objects.append(ObjectEntry(Transformed(Sphere(), np.eye(4)),
+                                  Material.clear(1.5, 0.0001)))
+    sc.objects.append(ObjectEntry(
+        Transformed(Sphere(), scale_translate([0.4] * 3, [-2.0, -0.6, -1.5])),
+        Material.diffuse(hex_color(0xBC0000))))
+    sc.objects.append(ObjectEntry(Plane([0.0, 1.0, 0.0], -1.0),
+                                  Material.diffuse(hex_color(0xAAAAAA))))
+    light_shape = Transformed(Sphere(), scale_translate([2.0] * 3, [4.0, 10.0, 4.0]))
+    sc.lights.append(("object", light_shape, Material.light(hex_color(0xFFFFFF), 50.0)))
+    sc.env = np.array([0.1, 0.12, 0.15])
+    cam = dict(eye=[0.0, 1.2, 5.5], fov=np.pi / 5)
+    center = np.array([0.0, 0.0, 0.0])
+    cam["direction"] = center - np.array(cam["eye"])
+    cam["up"] = [0.0, 1.0, 0.0]
+    return sc, cam
+
+
 def block_means(img, b=8):
     h, w, _ = img.shape
     return img[: h // b * b, : w // b * b].reshape(h // b, b, w // b, b, 3).mean((1, 3))
@@ -118,10 +163,15 @@ def block_means(img, b=8):
 
 def main():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    only = sys.argv[1:] or None
     jobs = [
         ("sphere", sphere_scene, 96, 56, 512, 2),
         ("cornell", cornell_scene, 64, 64, 512, 2),
+        ("teapot", teapot_scene, 56, 56, 128, 2),
+        ("glass", glass_scene, 80, 60, 512, 6),
     ]
+    if only:
+        jobs = [j for j in jobs if j[0] in only]
     for name, build, w, h, spp, bounces in jobs:
         sc, cam = build()
         t0 = time.time()

@@ -255,12 +255,14 @@ class Triangles:
 
 
 class Material:
-    def __init__(self, color, index=1.5, roughness=0.5, metallic=0.0, emittance=0.0):
+    def __init__(self, color, index=1.5, roughness=0.5, metallic=0.0, emittance=0.0,
+                 transparent=False):
         self.color = np.asarray(color, np.float64)
         self.index = index
         self.roughness = roughness
         self.metallic = metallic
         self.emittance = emittance
+        self.transparent = transparent
 
     @classmethod
     def diffuse(cls, color):
@@ -274,61 +276,141 @@ class Material:
     def light(cls, color, emittance):
         return cls(color, 1.0, 1.0, 0.0, emittance)
 
+    @classmethod
+    def metallic(cls, color, roughness):
+        return cls(color, 1.5, roughness, 1.0, 0.0)
+
+    @classmethod
+    def clear(cls, index, roughness):
+        return cls(np.ones(3), index, roughness, 0.0, 0.0, True)
+
+    @classmethod
+    def transparent_colored(cls, color, index, roughness):
+        return cls(color, index, roughness, 0.0, 0.0, True)
+
+    def _f0(self):
+        f0s = ((self.index - 1.0) / (self.index + 1.0)) ** 2
+        return (1.0 - self.metallic) * np.full(3, f0s) + self.metallic * self.color
+
     def bsdf(self, n, wo, wi):
-        """material.rs:125-172, opaque same-side branch; zero otherwise."""
+        """material.rs:125-215: same-side Cook-Torrance (+ Lambert if opaque,
+        + TIR Fresnel override if transparent) and the Walter BTDF for
+        cross-side transmission."""
         n_wi = dot(n, wi)
         n_wo = dot(n, wo)
-        both_out = (n_wi >= 0) & (n_wo >= 0)  # is_sign_positive
-        h = normalize(wi + wo)
-        wo_h = dot(wo, h)
-        n_h = dot(n, h)
-        nh2 = n_h * n_h
+        wi_out = n_wi >= 0  # is_sign_positive (measure-zero -0.0 ignored)
+        wo_out = n_wo >= 0
+        same = wi_out == wo_out
         m2 = self.roughness * self.roughness
+        f0 = self._f0()
         with np.errstate(divide="ignore", invalid="ignore", over="ignore", under="ignore"):
+            # --- same-side (reflection) branch, material.rs:135-172
+            h = normalize(wi + wo)
+            wo_h = dot(wo, h)
+            n_h = dot(n, h)
+            nh2 = n_h * n_h
             dterm = np.exp((nh2 - 1.0) / (m2 * nh2)) / (m2 * np.pi * nh2 * nh2)
-            f0s = ((self.index - 1.0) / (self.index + 1.0)) ** 2
-            f0 = (1.0 - self.metallic) * np.full(3, f0s) + self.metallic * self.color
             f = f0 + (1.0 - f0) * ((1.0 - wo_h) ** 5)[..., None]
+            if self.transparent:
+                # Total internal reflection (material.rs:146-149)
+                tir = (~wi_out) & (
+                    np.sqrt(np.maximum(1.0 - wo_h * wo_h, 0.0)) * self.index > 1.0
+                )
+                f = np.where(tir[..., None], 1.0, f)
             g = np.minimum(n_wi * n_h, n_wo * n_h)
             g = np.minimum(2.0 * g / wo_h, 1.0)
             spec = (dterm * g / (4.0 * n_wo * n_wi))[..., None] * f
-            diffuse = (1.0 - f) * self.color / np.pi
-            out = spec + diffuse
-        out = np.where(both_out[..., None], out, 0.0)
+            if self.transparent:
+                same_val = spec
+            else:
+                same_val = spec + (1.0 - f) * self.color / np.pi
+
+            if self.transparent:
+                # --- cross-side (transmission) branch, material.rs:173-214
+                eta_t = np.where(wo_out, self.index, 1.0 / self.index)
+                ht = normalize(wi * eta_t[..., None] + wo)
+                wi_ht = dot(wi, ht)
+                wo_ht = dot(wo, ht)
+                n_ht = dot(n, ht)
+                nht2 = n_ht * n_ht
+                dt = np.exp((nht2 - 1.0) / (m2 * nht2)) / (m2 * np.pi * nht2 * nht2)
+                ft = f0 + (1.0 - f0) * ((1.0 - np.abs(wi_ht)) ** 5)[..., None]
+                gt = np.minimum(np.abs(n_wi * n_ht), np.abs(n_wo * n_ht))
+                gt = np.minimum(2.0 * gt / np.abs(wo_ht), 1.0)
+                btdf = (
+                    np.abs(wi_ht * wo_ht / (n_wi * n_wo))[..., None]
+                    * dt[..., None]
+                    * (1.0 - ft)
+                    * gt[..., None]
+                    / ((eta_t * wi_ht + wo_ht) ** 2)[..., None]
+                ) * self.color
+                out = np.where(same[..., None], same_val, btdf)
+            else:
+                # Opaque materials do not transmit (material.rs:130-133)
+                out = np.where((wi_out & wo_out)[..., None], same_val, 0.0)
         return np.where(np.isfinite(out), out, 0.0)
 
     def sample_f(self, n, wo, rng):
-        """material.rs:224-313 (opaque): lobe mix, Beckmann PIT, Malley,
-        one-sample-MIS summed pdf. Returns (wi, pdf)."""
+        """material.rs:224-313: lobe mix, Beckmann PIT, Malley (opaque) or
+        microfacet refraction (transparent), one-sample-MIS summed pdf.
+        Returns (wi, pdf); TIR-invalid transmission samples get pdf 0 (the
+        Rust returns None, terminating the path — identical effect)."""
         shape = n.shape[:-1]
         m2 = self.roughness * self.roughness
         f0 = ((self.index - 1.0) / (self.index + 1.0)) ** 2
         f = (1.0 - self.metallic) * f0 + self.metallic * self.color.mean()
         f = f * 0.8 + 0.2  # mix_scalar(f, 1, 0.2)
+        eta_t = np.where(dot(wo, n) > 0.0, self.index, 1.0 / self.index)
+
+        def beckmann():
+            theta = np.arctan(np.sqrt(np.maximum(-m2 * np.log(rng.random(shape)), 0.0)))
+            sin_t, cos_t = np.sin(theta), np.cos(theta)
+            cx, cy = unit_circle(rng, shape)
+            return local_to_world_apply(n, np.stack([cx * sin_t, cy * sin_t, cos_t], -1))
+
+        def beckmann_pdf(h):
+            cos_h = np.abs(dot(h, n))
+            sin_h = np.sqrt(np.maximum(1.0 - cos_h * cos_h, 0.0))
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore", under="ignore"):
+                p = (np.pi * m2 * cos_h**3) ** -1 * np.exp(-((sin_h / cos_h) ** 2) / m2)
+            return p
 
         pick_spec = rng.random(shape) < f
-        # Beckmann half vector
-        theta = np.arctan(np.sqrt(np.maximum(-m2 * np.log(rng.random(shape)), 0.0)))
-        sin_t, cos_t = np.sin(theta), np.cos(theta)
-        cx, cy = unit_circle(rng, shape)
-        h_local = np.stack([cx * sin_t, cy * sin_t, cos_t], -1)
-        h = local_to_world_apply(n, h_local)
+        h = beckmann()
         wi_spec = -(wo - 2.0 * dot(wo, h)[..., None] * h)  # -reflect(wo, h)
-        # Diffuse (Malley)
-        dx, dy = unit_disc(rng, shape)
-        dz = np.sqrt(np.maximum(1.0 - dx * dx - dy * dy, 0.0))
-        wi_diff = local_to_world_apply(n, np.stack([dx, dy, dz], -1))
-        wi = np.where(pick_spec[..., None], wi_spec, wi_diff)
+        invalid = np.zeros(shape, bool)
+        if not self.transparent:
+            dx, dy = unit_disc(rng, shape)
+            dz = np.sqrt(np.maximum(1.0 - dx * dx - dy * dy, 0.0))
+            wi_other = local_to_world_apply(n, np.stack([dx, dy, dz], -1))
+        else:
+            # Microfacet refraction (material.rs:272-287)
+            h2 = beckmann()
+            cos_to = dot(h2, wo)
+            wo_perp = wo - h2 * cos_to[..., None]
+            wi_perp = -wo_perp / eta_t[..., None]
+            sin2_ti = np.sum(wi_perp * wi_perp, -1)
+            invalid = (~pick_spec) & (sin2_ti > 1.0)  # TIR -> None
+            cos_ti = np.sqrt(np.maximum(1.0 - sin2_ti, 0.0))
+            wi_other = -np.sign(cos_to)[..., None] * cos_ti[..., None] * h2 + wi_perp
+        wi = np.where(pick_spec[..., None], wi_spec, wi_other)
 
         # Mixture pdf (material.rs:290-311)
         hsum = normalize(wi + wo)
-        cos_h = np.abs(dot(hsum, n))
-        sin_h = np.sqrt(np.maximum(1.0 - cos_h * cos_h, 0.0))
         with np.errstate(divide="ignore", invalid="ignore", over="ignore", under="ignore"):
-            p_h = (np.pi * m2 * cos_h**3) ** -1 * np.exp(-((sin_h / cos_h) ** 2) / m2)
-            p = f * p_h / (4.0 * np.abs(dot(hsum, wo)))
+            p = f * beckmann_pdf(hsum) / (4.0 * np.abs(dot(hsum, wo)))
         p = np.where(np.isfinite(p), p, 0.0)
-        p = p + (1.0 - f) * np.maximum(dot(wi, n), 0.0) / np.pi
+        if not self.transparent:
+            p = p + (1.0 - f) * np.maximum(dot(wi, n), 0.0) / np.pi
+        else:
+            crossed = (dot(wo, n) >= 0) != (dot(wi, n) >= 0)
+            ht = normalize(wi * eta_t[..., None] + wo)
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore", under="ignore"):
+                jac = np.abs(dot(ht, wo)) / (eta_t * dot(ht, wi) + dot(ht, wo)) ** 2
+                pt = (1.0 - f) * beckmann_pdf(ht) * jac
+            pt = np.where(np.isfinite(pt), pt, 0.0)
+            p = p + np.where(crossed, pt, 0.0)
+            p = np.where(invalid, 0.0, p)
         return wi, p
 
 
