@@ -84,40 +84,78 @@ def _build_mesh(tris, tri_norms) -> Mesh:
     return Mesh(verts, norms)
 
 
+def _read_bytes(f) -> bytes:
+    if hasattr(f, "read"):
+        data = f.read()
+        return data.encode() if isinstance(data, str) else data
+    with open(f, "rb") as fh:
+        return fh.read()
+
+
 def load_obj(file) -> Mesh:
-    """Load mesh geometry from a .OBJ file (io.rs:27-73)."""
+    """Load mesh geometry from a .OBJ file (io.rs:27-73).
+
+    Uses the native C++ parser (rpt_tpu/native/obj_parser.cpp, ~20x the
+    Python loop on megameshes) when a toolchain is available; the Python
+    parser below is the fallback and the semantics oracle."""
+    from ..native import parse_obj
+
+    data = _read_bytes(file)
+    nat = parse_obj(data)
+    if nat is not None:
+        verts, norms, _run, _names = nat
+        return Mesh(verts, norms)
+    return _load_obj_py(data.decode("utf-8", errors="replace"))
+
+
+def _load_obj_py(text: str) -> Mesh:
     vertices: List[np.ndarray] = []
     normals: List[np.ndarray] = []
     tris, tri_norms = [], []
-    with _open(file) as fh:
-        for line in fh:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            tokens = line.split()
-            if tokens[0] == "v":
-                vertices.append(_parse_point(tokens))
-            elif tokens[0] == "vn":
-                normals.append(_parse_point(tokens))
-            elif tokens[0] == "vt":
-                print("Warning: 'vt' in .OBJ unimplemented, skipping", file=sys.stderr)
-            elif tokens[0] == "f":
-                t, tn = _face_triangles(tokens, vertices, normals)
-                tris.extend(t)
-                tri_norms.extend(tn)
-            elif tokens[0] in ("mtllib", "usemtl"):
-                print(
-                    f"Warning: '{tokens[0]}' in .OBJ unimplemented here; "
-                    "use load_obj_with_mtl",
-                    file=sys.stderr,
-                )
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        tokens = line.split()
+        if tokens[0] == "v":
+            vertices.append(_parse_point(tokens))
+        elif tokens[0] == "vn":
+            normals.append(_parse_point(tokens))
+        elif tokens[0] == "f":
+            t, tn = _face_triangles(tokens, vertices, normals)
+            tris.extend(t)
+            tri_norms.extend(tn)
     return _build_mesh(tris, tri_norms)
 
 
 def load_obj_with_mtl(obj_file, mtl_file) -> List[Object]:
     """Load an object split by `usemtl` groups with materials
     (io.rs:83-149)."""
+    from ..native import parse_obj
+
     materials = load_mtl(mtl_file)
+    data = _read_bytes(obj_file)
+    nat = parse_obj(data)
+    if nat is not None:
+        verts, norms, run, names = nat
+        objects: List[Object] = []
+        for r in range(int(run.max()) + 1 if run.size else 0):
+            sel = run == r
+            if not sel.any():
+                continue
+            if r == 0:
+                mat = Material.default()
+            else:
+                name = names[r - 1]
+                if name not in materials:
+                    raise ValueError(f"`usemtl {name}` not in library")
+                mat = materials[name]
+            objects.append(Object(Mesh(verts[sel], norms[sel]), mat))
+        return objects
+    return _load_obj_with_mtl_py(data.decode("utf-8", errors="replace"), materials)
+
+
+def _load_obj_with_mtl_py(text: str, materials) -> List[Object]:
     vertices: List[np.ndarray] = []
     normals: List[np.ndarray] = []
     objects: List[Object] = []
@@ -131,27 +169,26 @@ def load_obj_with_mtl(obj_file, mtl_file) -> List[Object]:
             objects.append(Object(_build_mesh(cur_tris, cur_norms), cur_material))
             cur_tris, cur_norms = [], []
 
-    with _open(obj_file) as fh:
-        for line in fh:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            tokens = line.split()
-            if tokens[0] == "v":
-                vertices.append(_parse_point(tokens))
-            elif tokens[0] == "vn":
-                normals.append(_parse_point(tokens))
-            elif tokens[0] == "f":
-                t, tn = _face_triangles(tokens, vertices, normals)
-                cur_tris.extend(t)
-                cur_norms.extend(tn)
-            elif tokens[0] == "usemtl":
-                if last_usemtl is None or last_usemtl != tokens[1]:
-                    flush()
-                    if tokens[1] not in materials:
-                        raise ValueError(f"`usemtl {tokens[1]}` not in library")
-                    cur_material = materials[tokens[1]]
-                    last_usemtl = tokens[1]
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        tokens = line.split()
+        if tokens[0] == "v":
+            vertices.append(_parse_point(tokens))
+        elif tokens[0] == "vn":
+            normals.append(_parse_point(tokens))
+        elif tokens[0] == "f":
+            t, tn = _face_triangles(tokens, vertices, normals)
+            cur_tris.extend(t)
+            cur_norms.extend(tn)
+        elif tokens[0] == "usemtl":
+            if last_usemtl is None or last_usemtl != tokens[1]:
+                flush()
+                if tokens[1] not in materials:
+                    raise ValueError(f"`usemtl {tokens[1]}` not in library")
+                cur_material = materials[tokens[1]]
+                last_usemtl = tokens[1]
     flush()
     return objects
 

@@ -62,10 +62,46 @@ class BvhData:
 
 
 def build_bvh(verts: np.ndarray, norms: np.ndarray, mats: np.ndarray, dtype=jnp.float32) -> BvhData:
-    """Host-side BVH build over world-space triangles."""
+    """Host-side BVH build over world-space triangles.
+
+    Prefers the native C++ binned-SAH builder (rpt_tpu/native, the analog of
+    the reference's compiled SAH build at kdtree.rs:108-127) — SAH trees
+    visit substantially fewer nodes per ray than median splits. Falls back
+    to the pure-Python median builder below when no toolchain is available;
+    both produce the identical skip-link preorder contract.
+    """
     T = verts.shape[0]
     tri_min = verts.min(axis=1)  # (T,3)
     tri_max = verts.max(axis=1)
+
+    from ..native import build_bvh_sah
+
+    nat = build_bvh_sah(tri_min, tri_max, LEAF_SIZE) if T > 0 else None
+    if nat is not None:
+        node_min, node_max, is_leaf, skip, leaf_start, leaf_count, perm = nat
+        M = node_min.shape[0]
+        leaf_tris = np.full((M, LEAF_SIZE), -1, np.int32)
+        leaves = np.flatnonzero(is_leaf)
+        cols = np.arange(LEAF_SIZE)[None, :]
+        ids = leaf_start[leaves][:, None] + cols
+        mask = cols < leaf_count[leaves][:, None]
+        rows = leaf_tris[leaves]
+        rows[mask] = ids[mask].astype(np.int32)
+        leaf_tris[leaves] = rows
+        np_dtype = np.dtype(dtype)
+        return BvhData(
+            node_min=node_min.astype(np_dtype),
+            node_max=node_max.astype(np_dtype),
+            is_leaf=is_leaf,
+            skip=skip,
+            leaf_tris=leaf_tris,
+            leaf_start=leaf_start,
+            leaf_count=leaf_count,
+            verts=np.asarray(verts)[perm].astype(np_dtype),
+            norms=np.asarray(norms)[perm].astype(np_dtype),
+            mat_id=np.asarray(mats)[perm].astype(np.int32),
+        )
+
     centroids = (tri_min + tri_max) * 0.5
 
     node_min, node_max, is_leaf, leaf_lists, children = [], [], [], [], []

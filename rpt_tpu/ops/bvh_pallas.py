@@ -181,11 +181,13 @@ def pack_bvh_for_pallas(bvh: BvhData):
     C = len(chunks)
     Mc = max(e - s for s, e in chunks)
     if C > 1:
-        # Mosaic constraint: a rank-1 SMEM block must either equal the whole
-        # array or have a 128-multiple block size. Multi-chunk layouts use
-        # per-chunk blocks of (Mc*4,) i32 and (Mc*8,) f32, so round Mc up to
-        # a multiple of 32; padded nodes are unreachable (skip -> Mc).
-        Mc = -(-Mc // 32) * 32
+        # Mosaic constraint: a rank-1 block must either equal the whole array
+        # or be a multiple of the array's tiling — observed as 1024 elements
+        # for these SMEM arrays on v5e. Multi-chunk layouts use per-chunk
+        # blocks of (Mc*4,) i32 and (Mc*8,) f32, so round Mc up to a multiple
+        # of 256 (=> Mc*4 and Mc*8 are 1024-multiples); padded nodes are
+        # unreachable (skip -> Mc).
+        Mc = -(-Mc // 256) * 256
 
     bounds = np.zeros((C, Mc, 8), np.float32)
     # Padded nodes: inverted boxes (min=+BIG, max=-BIG) never pass the slab
