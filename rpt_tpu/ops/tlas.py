@@ -80,7 +80,28 @@ def _build_flat_bvh(prim_min: np.ndarray, prim_max: np.ndarray, leaf_size: int):
     thousands, past Python's recursion limit. In DFS preorder the subtree of
     node i is the contiguous range [i, end_i), so skip[i] = end_i falls out of
     a size counter when the subtree closes.
+
+    Prefers the native binned-SAH builder (rpt_tpu/native) — SAH matters most
+    exactly here: instance world boxes (fractal placements) overlap heavily,
+    where median splits produce high-overlap siblings that packets must
+    enter both of.
     """
+    from ..native import build_bvh_sah  # rpt_tpu.native
+
+    nat = build_bvh_sah(
+        np.asarray(prim_min, np.float32), np.asarray(prim_max, np.float32),
+        leaf_size,
+    ) if prim_min.shape[0] > 0 else None
+    if nat is not None:
+        node_min, node_max, is_leaf, skip, leaf_start, leaf_count, perm = nat
+        leaf_lists = [
+            perm[leaf_start[i] : leaf_start[i] + leaf_count[i]]
+            if is_leaf[i]
+            else None
+            for i in range(node_min.shape[0])
+        ]
+        return node_min, node_max, skip, leaf_lists
+
     centroids = (prim_min + prim_max) * 0.5
     node_min, node_max, leaf_lists = [], [], []
     subtree_end: List[int] = []

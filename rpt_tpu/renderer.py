@@ -70,12 +70,42 @@ def _render_pass_impl(scene_data, camera, key, width, height, max_bounces, t_min
 # as constants compiles in seconds — and constants also let XLA fold the
 # per-primitive transforms. Scenes are code (scene.rs model): a new scene is
 # a new program.
+#
+# EXCEPTION — megamesh arrays: leaves past _BIG_LEAF_BYTES (packed triangle
+# rows, BVH bounds, vertex tables) are hoisted OUT of the closure and passed
+# as jit arguments instead. Inlining them prints them into the program text
+# (the 120k-tri dragon made a 77 MB MLIR module that took >10 min in the
+# remote AOT compiler); as arguments the module stays small and the arrays
+# ship once as device buffers. Small leaves stay constants, so the original
+# rule still applies where it matters (transform folding, tiny gathers).
 _PASS_CACHE: dict = {}
 _MANY_CACHE: dict = {}
 
+_BIG_LEAF_BYTES = 1 << 20
+
+
+def _split_big_leaves(scene_data):
+    """(closure_scene_fn, big_leaves): rebuild the scene inside jit from
+    closed-over small leaves + big leaves passed as arguments."""
+    leaves, treedef = jax.tree_util.tree_flatten(scene_data)
+    is_big = [
+        hasattr(l, "nbytes") and l.nbytes >= _BIG_LEAF_BYTES for l in leaves
+    ]
+    # Commit big leaves to the device ONCE here; as plain numpy they would
+    # re-enter through the host->device relay on every call.
+    big = [jnp.asarray(l) for l, b in zip(leaves, is_big) if b]
+    small = [None if b else l for l, b in zip(leaves, is_big)]
+
+    def rebuild(big_args):
+        it = iter(big_args)
+        merged = [next(it) if b else s for s, b in zip(small, is_big)]
+        return jax.tree_util.tree_unflatten(treedef, merged)
+
+    return rebuild, big
+
 
 def make_render_many_fn(scene_data, width: int, height: int, max_bounces: int):
-    """Jitted (camera, base_key, start, n, t_min, ev_scale) -> (sum, sum_sq)
+    """(camera, base_key, start, n, t_min, ev_scale) -> (sum, sum_sq)
     accumulating `n` samples per pixel ON DEVICE in one dispatch.
 
     The per-sample Python loop costs two host round trips per sample — ~25 ms
@@ -88,14 +118,17 @@ def make_render_many_fn(scene_data, width: int, height: int, max_bounces: int):
     fn = _MANY_CACHE.get(cache_key)
     if fn is None:
         dtype = scene_data.materials.color.dtype
+        rebuild, big = _split_big_leaves(scene_data)
 
         @jax.jit
-        def fn(camera, base_key, start, n, t_min, ev_scale):
+        def _fn(big_args, camera, base_key, start, n, t_min, ev_scale):
+            sd = rebuild(big_args)
+
             def body(i, acc):
                 s, ss = acc
                 key = jax.random.fold_in(base_key, start + i)
                 frame = _render_pass_impl(
-                    scene_data, camera, key, width, height, max_bounces,
+                    sd, camera, key, width, height, max_bounces,
                     t_min, ev_scale,
                 )
                 return (s + frame, ss + jnp.sum(frame * frame, axis=-1))
@@ -105,6 +138,9 @@ def make_render_many_fn(scene_data, width: int, height: int, max_bounces: int):
                 jnp.zeros((height, width), dtype),
             )
             return jax.lax.fori_loop(0, n, body, init)
+
+        def fn(camera, base_key, start, n, t_min, ev_scale):
+            return _fn(big, camera, base_key, start, n, t_min, ev_scale)
 
         _MANY_CACHE[cache_key] = fn
     return fn
