@@ -217,7 +217,16 @@ def _kernel(meta_ref, bounds_ref, tmin_ref, rays_ref, tri_ref, t_ref, id_ref,
     node metadata is SMEM-resident. Triangle rows live in HBM (tri_ref); each
     visited leaf's (8, 128) block is DMA'd into tri_scratch. The output block
     persists across the (innermost) chunk axis, carrying the running best hit
-    so later chunks are pruned by earlier ones."""
+    so later chunks are pruned by earlier ones.
+
+    Leaf DMAs are DOUBLE-BUFFERED: when the walk reaches a leaf it only
+    STARTS the copy into the idle half of tri_scratch and keeps walking; the
+    triangle test for that leaf runs when the NEXT leaf is found (or at
+    drain), by which time the copy has landed. Leaf visits are ~20% of loop
+    steps (tools/traversal_profile.py), so the serial start->wait stall this
+    removes dominated mesh traversal time. Cost: the deferred test means one
+    leaf's t_best update lags the box-test prune by one leaf — a few extra
+    leaf visits, repaid many times over by the hidden latency."""
     M = meta_ref.shape[0] // 4
     r = rays_ref[0]  # (8, 128): ox oy oz dx dy dz active pad
     ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
@@ -236,12 +245,53 @@ def _kernel(meta_ref, bounds_ref, tmin_ref, rays_ref, tri_ref, t_ref, id_ref,
     ivx, ivy, ivz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
     row_k = jax.lax.broadcasted_iota(jnp.int32, (KMAX, LANES), 0)
 
+    def test_pending(buf, start, count, t_best, best_id):
+        """Intersect the 8-triangle block already resident in scratch half
+        `buf` against all 128 rays; fold into the running best."""
+        tri = tri_scratch[buf]  # (8, 128): triangle k on sublane k
+        v0x, v0y, v0z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+        e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
+        e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
+        pnx, pny, pnz = tri[:, 9:10], tri[:, 10:11], tri[:, 11:12]
+        pv = tri[:, 12:13]
+        d00, d01, d11 = tri[:, 13:14], tri[:, 14:15], tri[:, 15:16]
+        inv_den = tri[:, 16:17]
+
+        # (8,1) x (1,128) -> (8,128): 8 triangles vs 128 rays per op.
+        cos = pnx * dx + pny * dy + pnz * dz
+        cos_safe = jnp.where(jnp.abs(cos) > 1e-8, cos, 1e-8)
+        t = (pv - (pnx * ox + pny * oy + pnz * oz)) / cos_safe
+        ddx = ox + t * dx - v0x
+        ddy = oy + t * dy - v0y
+        ddz = oz + t * dz - v0z
+        d20 = ddx * e1x + ddy * e1y + ddz * e1z
+        d21 = ddx * e2x + ddy * e2y + ddz * e2z
+        v = (d11 * d20 - d01 * d21) * inv_den
+        w = (d00 * d21 - d01 * d20) * inv_den
+        u = 1.0 - v - w
+        ok = (
+            (jnp.abs(cos) >= 1e-8)
+            & (t >= t_min)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (w >= 0.0)
+            & (row_k < count)
+        )
+        th = jnp.where(ok, t, _BIG)  # (8,128)
+        t_leaf = jnp.min(th, axis=0, keepdims=True)  # (1,128)
+        k_best = jnp.min(
+            jnp.where(th == t_leaf, row_k, KMAX), axis=0, keepdims=True
+        )
+        better = t_leaf < t_best
+        best_id = jnp.where(better, start + k_best, best_id)
+        t_best = jnp.minimum(t_best, t_leaf)
+        return t_best, best_id
+
     def cond(state):
-        ptr, _, _ = state
-        return ptr < M
+        return state[0] < M
 
     def body(state):
-        ptr, t_best, best_id = state
+        ptr, t_best, best_id, p_start, p_count, cur = state
         m4 = ptr * 4
         skip = meta_ref[m4]
         start = meta_ref[m4 + 1]
@@ -265,64 +315,50 @@ def _kernel(meta_ref, bounds_ref, tmin_ref, rays_ref, tri_ref, t_ref, id_ref,
         )
         box_hit = (lo <= hi) & (hi >= t_min) & (lo <= t_best) & act
         hit_any = jnp.any(box_hit)
-        is_leaf = count > 0
+        new_leaf = hit_any & (count > 0)
 
-        def do_leaf(args):
+        # Start the new leaf's copy into the idle half, then (overlapped with
+        # that copy) test the previously pending leaf from the resident half.
+        @pl.when(new_leaf)
+        def _():
+            pltpu.make_async_copy(
+                tri_ref.at[start // KMAX], tri_scratch.at[1 - cur],
+                dma_sem.at[1 - cur],
+            ).start()
+
+        def flush(args):
             t_best, best_id = args
-            dma = pltpu.make_async_copy(
-                tri_ref.at[start // KMAX], tri_scratch, dma_sem
-            )
-            dma.start()
-            dma.wait()
-            tri = tri_scratch  # (8, 128): triangle k on sublane k
-            v0x, v0y, v0z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
-            e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
-            e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
-            pnx, pny, pnz = tri[:, 9:10], tri[:, 10:11], tri[:, 11:12]
-            pv = tri[:, 12:13]
-            d00, d01, d11 = tri[:, 13:14], tri[:, 14:15], tri[:, 15:16]
-            inv_den = tri[:, 16:17]
-
-            # (8,1) x (1,128) -> (8,128): 8 triangles vs 128 rays per op.
-            cos = pnx * dx + pny * dy + pnz * dz
-            cos_safe = jnp.where(jnp.abs(cos) > 1e-8, cos, 1e-8)
-            t = (pv - (pnx * ox + pny * oy + pnz * oz)) / cos_safe
-            ddx = ox + t * dx - v0x
-            ddy = oy + t * dy - v0y
-            ddz = oz + t * dz - v0z
-            d20 = ddx * e1x + ddy * e1y + ddz * e1z
-            d21 = ddx * e2x + ddy * e2y + ddz * e2z
-            v = (d11 * d20 - d01 * d21) * inv_den
-            w = (d00 * d21 - d01 * d20) * inv_den
-            u = 1.0 - v - w
-            ok = (
-                (jnp.abs(cos) >= 1e-8)
-                & (t >= t_min)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (w >= 0.0)
-                & (row_k < count)
-            )
-            th = jnp.where(ok, t, _BIG)  # (8,128)
-            t_leaf = jnp.min(th, axis=0, keepdims=True)  # (1,128)
-            k_best = jnp.min(
-                jnp.where(th == t_leaf, row_k, KMAX), axis=0, keepdims=True
-            )
-            better = t_leaf < t_best
-            best_id = jnp.where(better, start + k_best, best_id)
-            t_best = jnp.minimum(t_best, t_leaf)
-            return t_best, best_id
+            pltpu.make_async_copy(
+                tri_ref.at[p_start // KMAX], tri_scratch.at[cur], dma_sem.at[cur]
+            ).wait()
+            return test_pending(cur, p_start, p_count, t_best, best_id)
 
         t_best, best_id = jax.lax.cond(
-            hit_any & is_leaf, do_leaf, lambda a: a, (t_best, best_id)
+            new_leaf & (p_count > 0), flush, lambda a: a, (t_best, best_id)
         )
-        ptr = jnp.where(hit_any & (~is_leaf), ptr + 1, skip)
-        return ptr, t_best, best_id
+        p_start = jnp.where(new_leaf, start, p_start)
+        p_count = jnp.where(new_leaf, count, p_count)
+        cur = jnp.where(new_leaf, 1 - cur, cur)
+        ptr = jnp.where(hit_any & (count == 0), ptr + 1, skip)
+        return ptr, t_best, best_id, p_start, p_count, cur
 
-    _, t_best, best_id = jax.lax.while_loop(
+    _, t_best, best_id, p_start, p_count, cur = jax.lax.while_loop(
         cond,
         body,
-        (jnp.int32(0), t_ref[0], id_ref[0]),
+        (jnp.int32(0), t_ref[0], id_ref[0], jnp.int32(0), jnp.int32(0),
+         jnp.int32(0)),
+    )
+
+    # Drain the last pending leaf.
+    def drain(args):
+        t_best, best_id = args
+        pltpu.make_async_copy(
+            tri_ref.at[p_start // KMAX], tri_scratch.at[cur], dma_sem.at[cur]
+        ).wait()
+        return test_pending(cur, p_start, p_count, t_best, best_id)
+
+    t_best, best_id = jax.lax.cond(
+        p_count > 0, drain, lambda a: a, (t_best, best_id)
     )
     t_ref[0] = t_best
     id_ref[0] = best_id
@@ -350,8 +386,8 @@ def _traverse(bounds, meta, tri_pack, rays, t_min, *, n_chunks, interpret=False)
             pl.BlockSpec(memory_space=pl.ANY),  # tri_pack (L,8,128), HBM
         ],
         scratch_shapes=[
-            pltpu.VMEM((KMAX, TRI_ROW), jnp.float32),  # one leaf block
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, KMAX, TRI_ROW), jnp.float32),  # double-buffered leaf
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         out_specs=[
             # (G, 1, 128) with a (1, 1, 128) block: Mosaic requires the last

@@ -210,74 +210,102 @@ def _kernel(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tmin_ref,
         ldz = a20 * wdx + a21 * wdy + a22 * wdz
         ilx, ily, ilz = safe_inv(ldx), safe_inv(ldy), safe_inv(ldz)
 
+        def test_pending(buf, start, count, t_best, best_id, best_inst):
+            """8-triangle block already resident in scratch half `buf`."""
+            tri = tri_scratch[buf]  # (8, 128): triangle k on sublane k
+            v0x, v0y, v0z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+            e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
+            e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
+            pnx, pny, pnz = tri[:, 9:10], tri[:, 10:11], tri[:, 11:12]
+            pv = tri[:, 12:13]
+            d00, d01, d11 = tri[:, 13:14], tri[:, 14:15], tri[:, 15:16]
+            inv_den = tri[:, 16:17]
+
+            cos = pnx * ldx + pny * ldy + pnz * ldz
+            cos_safe = jnp.where(jnp.abs(cos) > 1e-8, cos, 1e-8)
+            t = (pv - (pnx * lox + pny * loy + pnz * loz)) / cos_safe
+            ddx = lox + t * ldx - v0x
+            ddy = loy + t * ldy - v0y
+            ddz = loz + t * ldz - v0z
+            d20 = ddx * e1x + ddy * e1y + ddz * e1z
+            d21 = ddx * e2x + ddy * e2y + ddz * e2z
+            v = (d11 * d20 - d01 * d21) * inv_den
+            w = (d00 * d21 - d01 * d20) * inv_den
+            u = 1.0 - v - w
+            ok = (
+                (jnp.abs(cos) >= 1e-8)
+                & (t >= t_min)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (w >= 0.0)
+                & (row_k < count)
+            )
+            th = jnp.where(ok, t, _BIG)  # (8,128)
+            t_leaf = jnp.min(th, axis=0, keepdims=True)  # (1,128)
+            k_best = jnp.min(
+                jnp.where(th == t_leaf, row_k, KMAX), axis=0, keepdims=True
+            )
+            better = t_leaf < t_best
+            best_id = jnp.where(better, start + k_best, best_id)
+            best_inst = jnp.where(better, inst, best_inst)
+            t_best = jnp.minimum(t_best, t_leaf)
+            return t_best, best_id, best_inst
+
         def bcond(state):
-            bptr = state[0]
-            return bptr < end
+            return state[0] < end
 
         def bbody(state):
-            bptr, t_best, best_id, best_inst = state
+            bptr, t_best, best_id, best_inst, p_start, p_count, cur = state
             m4 = bptr * 4
             skip = b_meta[m4]
             start = b_meta[m4 + 1]
             count = b_meta[m4 + 2]
             box_hit = slab(b_bounds, bptr * 8, lox, loy, loz, ilx, ily, ilz, t_best)
             hit_any = jnp.any(box_hit)
-            is_leaf = count > 0
+            new_leaf = hit_any & (count > 0)
 
-            def do_leaf(args):
-                t_best, best_id, best_inst = args
-                dma = pltpu.make_async_copy(
-                    tri_ref.at[start // KMAX], tri_scratch, dma_sem
-                )
-                dma.start()
-                dma.wait()
-                tri = tri_scratch  # (8, 128): triangle k on sublane k
-                v0x, v0y, v0z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
-                e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
-                e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
-                pnx, pny, pnz = tri[:, 9:10], tri[:, 10:11], tri[:, 11:12]
-                pv = tri[:, 12:13]
-                d00, d01, d11 = tri[:, 13:14], tri[:, 14:15], tri[:, 15:16]
-                inv_den = tri[:, 16:17]
+            # Double-buffered leaf DMA (see bvh_pallas._kernel): start the new
+            # leaf's copy, test the previous one while it flies.
+            @pl.when(new_leaf)
+            def _():
+                pltpu.make_async_copy(
+                    tri_ref.at[start // KMAX], tri_scratch.at[1 - cur],
+                    dma_sem.at[1 - cur],
+                ).start()
 
-                cos = pnx * ldx + pny * ldy + pnz * ldz
-                cos_safe = jnp.where(jnp.abs(cos) > 1e-8, cos, 1e-8)
-                t = (pv - (pnx * lox + pny * loy + pnz * loz)) / cos_safe
-                ddx = lox + t * ldx - v0x
-                ddy = loy + t * ldy - v0y
-                ddz = loz + t * ldz - v0z
-                d20 = ddx * e1x + ddy * e1y + ddz * e1z
-                d21 = ddx * e2x + ddy * e2y + ddz * e2z
-                v = (d11 * d20 - d01 * d21) * inv_den
-                w = (d00 * d21 - d01 * d20) * inv_den
-                u = 1.0 - v - w
-                ok = (
-                    (jnp.abs(cos) >= 1e-8)
-                    & (t >= t_min)
-                    & (u >= 0.0)
-                    & (v >= 0.0)
-                    & (w >= 0.0)
-                    & (row_k < count)
-                )
-                th = jnp.where(ok, t, _BIG)  # (8,128)
-                t_leaf = jnp.min(th, axis=0, keepdims=True)  # (1,128)
-                k_best = jnp.min(
-                    jnp.where(th == t_leaf, row_k, KMAX), axis=0, keepdims=True
-                )
-                better = t_leaf < t_best
-                best_id = jnp.where(better, start + k_best, best_id)
-                best_inst = jnp.where(better, inst, best_inst)
-                t_best = jnp.minimum(t_best, t_leaf)
-                return t_best, best_id, best_inst
+            def flush(args):
+                pltpu.make_async_copy(
+                    tri_ref.at[p_start // KMAX], tri_scratch.at[cur],
+                    dma_sem.at[cur],
+                ).wait()
+                return test_pending(cur, p_start, p_count, *args)
 
             t_best, best_id, best_inst = jax.lax.cond(
-                hit_any & is_leaf, do_leaf, lambda a: a, (t_best, best_id, best_inst)
+                new_leaf & (p_count > 0), flush, lambda a: a,
+                (t_best, best_id, best_inst),
             )
-            bptr = jnp.where(hit_any & (~is_leaf), bptr + 1, skip)
-            return bptr, t_best, best_id, best_inst
+            p_start = jnp.where(new_leaf, start, p_start)
+            p_count = jnp.where(new_leaf, count, p_count)
+            cur = jnp.where(new_leaf, 1 - cur, cur)
+            bptr = jnp.where(hit_any & (count == 0), bptr + 1, skip)
+            return bptr, t_best, best_id, best_inst, p_start, p_count, cur
 
-        _, t_best, best_id, best_inst = jax.lax.while_loop(
-            bcond, bbody, (root, t_best, best_id, best_inst)
+        _, t_best, best_id, best_inst, p_start, p_count, cur = jax.lax.while_loop(
+            bcond, bbody,
+            (root, t_best, best_id, best_inst, jnp.int32(0), jnp.int32(0),
+             jnp.int32(0)),
+        )
+
+        # Drain this instance's last pending leaf (local rays are per-instance,
+        # so the pending test cannot cross the instance boundary).
+        def drain(args):
+            pltpu.make_async_copy(
+                tri_ref.at[p_start // KMAX], tri_scratch.at[cur], dma_sem.at[cur]
+            ).wait()
+            return test_pending(cur, p_start, p_count, *args)
+
+        t_best, best_id, best_inst = jax.lax.cond(
+            p_count > 0, drain, lambda a: a, (t_best, best_id, best_inst)
         )
         return t_best, best_id, best_inst
 
@@ -339,8 +367,8 @@ def _traverse(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tri_pack,
             pl.BlockSpec(memory_space=pl.ANY),  # tri_pack (L,8,128), HBM
         ],
         scratch_shapes=[
-            pltpu.VMEM((KMAX, TRI_ROW), jnp.float32),  # one leaf block
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, KMAX, TRI_ROW), jnp.float32),  # double-buffered leaf
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
