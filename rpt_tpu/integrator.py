@@ -111,9 +111,11 @@ def sample_lights(scene, mat, pos, n, wo, key, t_min, found, compact=False) -> j
         # park immediately inside the BVH/TLAS traversal.
         if compact:
             shadow = _intersect_compacted(scene, pos, wi, t_min, found)
+            visible = (~shadow.valid) | (shadow.t > dist)
         else:
-            shadow = scene.intersect(pos, wi, t_min, active=found)
-        visible = (~shadow.valid) | (shadow.t > dist)
+            # Any-hit query: boolean-equal to `closest.t <= dist` but the
+            # packet kernels early-exit on the first occluder.
+            visible = ~scene.occluded(pos, wi, t_min, dist, active=found)
         f = bsdf(mat, n, wo, wi)
         contrib = f * intensity * dot(wi, n)[..., None]
         total = total + jnp.where(visible[..., None], contrib, 0.0)

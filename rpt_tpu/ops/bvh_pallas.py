@@ -50,7 +50,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import Hit, INF
 from .bvh import BvhData, finalize_hit
 
-__all__ = ["bvh_closest_hit_pallas", "pack_bvh_for_pallas", "pallas_eligible", "PallasPack"]
+__all__ = [
+    "bvh_closest_hit_pallas",
+    "bvh_occluded_pallas",
+    "pack_bvh_for_pallas",
+    "pallas_eligible",
+    "PallasPack",
+]
 
 LANES = 128  # rays per packet
 KMAX = 8  # triangles per leaf (= bvh.LEAF_SIZE)
@@ -364,6 +370,147 @@ def _kernel(meta_ref, bounds_ref, tmin_ref, rays_ref, tri_ref, t_ref, id_ref,
     id_ref[0] = best_id
 
 
+def _kernel_occl(meta_ref, bounds_ref, tmin_ref, rays_ref, tri_ref, occ_ref,
+                 tri_scratch, dma_sem):
+    """Occlusion (any-hit) variant of `_kernel` for NEE shadow rays
+    (renderer.rs:191-197: a lane is occluded iff ANY hit has t <= dist).
+
+    Differences from closest-hit:
+    - ray row 7 carries the per-lane max distance (the light distance);
+      the box prune uses it instead of a running best,
+    - a lane that finds any hit is DONE: it stops opening boxes, and the
+      packet exits the walk entirely once every live lane is occluded,
+    - no triangle id / normal bookkeeping — the output is one 0/1 per lane.
+    Leaf DMAs keep the closest-hit kernel's double-buffering."""
+    M = meta_ref.shape[0] // 4
+    r = rays_ref[0]  # (8, 128): ox oy oz dx dy dz active t_max
+    ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
+    dx, dy, dz = r[3:4, :], r[4:5, :], r[5:6, :]
+    act = r[6:7, :] > 0.5
+    t_max = r[7:8, :]
+    t_min = tmin_ref[0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        occ_ref[0] = jnp.zeros((1, LANES), jnp.float32)
+
+    def safe_inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) > 1e-20, c, jnp.where(c < 0.0, -1e-20, 1e-20))
+
+    ivx, ivy, ivz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    row_k = jax.lax.broadcasted_iota(jnp.int32, (KMAX, LANES), 0)
+
+    def test_pending(buf, count, occ):
+        tri = tri_scratch[buf]  # (8, 128): triangle k on sublane k
+        v0x, v0y, v0z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+        e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
+        e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
+        pnx, pny, pnz = tri[:, 9:10], tri[:, 10:11], tri[:, 11:12]
+        pv = tri[:, 12:13]
+        d00, d01, d11 = tri[:, 13:14], tri[:, 14:15], tri[:, 15:16]
+        inv_den = tri[:, 16:17]
+
+        cos = pnx * dx + pny * dy + pnz * dz
+        cos_safe = jnp.where(jnp.abs(cos) > 1e-8, cos, 1e-8)
+        t = (pv - (pnx * ox + pny * oy + pnz * oz)) / cos_safe
+        ddx = ox + t * dx - v0x
+        ddy = oy + t * dy - v0y
+        ddz = oz + t * dz - v0z
+        d20 = ddx * e1x + ddy * e1y + ddz * e1z
+        d21 = ddx * e2x + ddy * e2y + ddz * e2z
+        v = (d11 * d20 - d01 * d21) * inv_den
+        w = (d00 * d21 - d01 * d20) * inv_den
+        u = 1.0 - v - w
+        ok = (
+            (jnp.abs(cos) >= 1e-8)
+            & (t >= t_min)
+            & (t <= t_max)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (w >= 0.0)
+            & (row_k < count)
+        )
+        hit_lane = jnp.any(ok, axis=0, keepdims=True)  # (1,128)
+        occ = jnp.where(hit_lane, 1.0, occ)
+        # One vector->scalar reduce per LEAF (not per node step): the loop
+        # cond stays scalar-only, exiting once every live lane is occluded.
+        alive = jnp.any(act & (occ < 0.5))
+        return occ, alive
+
+    def cond(state):
+        return state[0] < M
+
+    def body(state):
+        ptr, occ, alive, p_start, p_count, cur = state
+        m4 = ptr * 4
+        skip = meta_ref[m4]
+        start = meta_ref[m4 + 1]
+        count = meta_ref[m4 + 2]
+
+        b8 = ptr * 8
+        t1x = (bounds_ref[b8 + 0] - ox) * ivx
+        t2x = (bounds_ref[b8 + 3] - ox) * ivx
+        t1y = (bounds_ref[b8 + 1] - oy) * ivy
+        t2y = (bounds_ref[b8 + 4] - oy) * ivy
+        t1z = (bounds_ref[b8 + 2] - oz) * ivz
+        t2z = (bounds_ref[b8 + 5] - oz) * ivz
+        lo = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        hi = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        box_hit = (lo <= hi) & (hi >= t_min) & (lo <= t_max) & act & (occ < 0.5)
+        hit_any = jnp.any(box_hit)
+        new_leaf = hit_any & (count > 0)
+
+        @pl.when(new_leaf)
+        def _():
+            pltpu.make_async_copy(
+                tri_ref.at[start // KMAX], tri_scratch.at[1 - cur],
+                dma_sem.at[1 - cur],
+            ).start()
+
+        def flush(args):
+            occ, _ = args
+            pltpu.make_async_copy(
+                tri_ref.at[p_start // KMAX], tri_scratch.at[cur], dma_sem.at[cur]
+            ).wait()
+            return test_pending(cur, p_count, occ)
+
+        occ, alive = jax.lax.cond(
+            new_leaf & (p_count > 0), flush, lambda a: a, (occ, alive)
+        )
+        p_start = jnp.where(new_leaf, start, p_start)
+        p_count = jnp.where(new_leaf, count, p_count)
+        cur = jnp.where(new_leaf, 1 - cur, cur)
+        ptr = jnp.where(hit_any & (count == 0), ptr + 1, skip)
+        # Early exit: once every live lane is occluded, jump straight to the
+        # preorder end (the drain below still waits any in-flight DMA).
+        ptr = jnp.where(alive, ptr, M)
+        return ptr, occ, alive, p_start, p_count, cur
+
+    init_alive = jnp.any(act & (occ_ref[0] < 0.5))
+    _, occ, _, p_start, p_count, cur = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.where(init_alive, 0, M).astype(jnp.int32), occ_ref[0], init_alive,
+         jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+    )
+
+    def drain(args):
+        occ, _ = args
+        pltpu.make_async_copy(
+            tri_ref.at[p_start // KMAX], tri_scratch.at[cur], dma_sem.at[cur]
+        ).wait()
+        return test_pending(cur, p_count, occ)
+
+    occ, _ = jax.lax.cond(p_count > 0, drain, lambda a: a, (occ, jnp.bool_(True)))
+    occ_ref[0] = occ
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "n_chunks"))
 def _traverse(bounds, meta, tri_pack, rays, t_min, *, n_chunks, interpret=False):
     G = rays.shape[0]
@@ -406,6 +553,92 @@ def _traverse(bounds, meta, tri_pack, rays, t_min, *, n_chunks, interpret=False)
         interpret=interpret,
     )(meta, bounds, t_min_arr, rays, tri_pack)
     return t_out, id_out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "n_chunks"))
+def _traverse_occl(bounds, meta, tri_pack, rays, t_min, *, n_chunks,
+                   interpret=False):
+    G = rays.shape[0]
+    Mc4 = meta.shape[0] // n_chunks
+    Mc8 = bounds.shape[0] // n_chunks
+    t_min_arr = jnp.reshape(t_min.astype(jnp.float32), (1,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(G, n_chunks),
+        in_specs=[
+            pl.BlockSpec((Mc4,), lambda i, c: (c,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((Mc8,), lambda i, c: (c,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # t_min (1,)
+            pl.BlockSpec(
+                (1, 8, LANES), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+            ),  # rays
+            pl.BlockSpec(memory_space=pl.ANY),  # tri_pack (L,8,128), HBM
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, KMAX, TRI_ROW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, LANES), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    (occ_out,) = pl.pallas_call(
+        _kernel_occl,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((G, 1, LANES), jnp.float32)],
+        interpret=interpret,
+    )(meta, bounds, t_min_arr, rays, tri_pack)
+    return occ_out
+
+
+def bvh_occluded_pallas(
+    bvh: BvhData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_min,
+    t_max: jnp.ndarray,
+    active=None,
+    packed=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Any-hit shadow query: True where some triangle lies in [t_min, t_max]
+    along the ray. Boolean-equal to `bvh_closest_hit(...).t <= t_max` but
+    early-exits per lane on the first hit and per packet when every live
+    lane is occluded."""
+    if packed is None:
+        packed = pack_bvh_for_pallas(bvh)
+    bounds = jnp.asarray(packed.bounds)
+    meta = jnp.asarray(packed.meta)
+    tri_pack = jnp.asarray(packed.tri)
+    n_chunks = packed.n_chunks
+
+    N = o.shape[0]
+    G = -(-N // LANES)
+    pad = G * LANES - N
+    o32 = o.astype(jnp.float32)
+    d32 = d.astype(jnp.float32)
+    if active is None:
+        act = jnp.ones((N,), jnp.float32)
+    else:
+        act = active.astype(jnp.float32)
+    tmax32 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    comp = jnp.stack(
+        [o32[:, 0], o32[:, 1], o32[:, 2], d32[:, 0], d32[:, 1], d32[:, 2], act,
+         tmax32],
+        axis=0,
+    )  # (8, N)
+    if pad:
+        comp = jnp.pad(comp, ((0, 0), (0, pad)))
+    rays = comp.reshape(8, G, LANES).transpose(1, 0, 2)  # (G, 8, 128)
+
+    occ_out = _traverse_occl(
+        bounds, meta, tri_pack, rays, jnp.asarray(t_min),
+        n_chunks=n_chunks, interpret=interpret,
+    )
+    occ = occ_out.reshape(-1)[:N] > 0.5
+    if active is not None:
+        occ = occ & active
+    return occ
 
 
 def bvh_closest_hit_pallas(

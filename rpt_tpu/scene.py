@@ -41,6 +41,7 @@ from .ops import intersect as ops
 from .ops.bvh import BvhData, build_bvh, bvh_closest_hit
 from .ops.bvh_pallas import (
     bvh_closest_hit_pallas,
+    bvh_occluded_pallas,
     pack_bvh_for_pallas,
     pallas_eligible,
 )
@@ -287,6 +288,77 @@ class SceneData:
         lanes cost the same either way).
         """
         self = self.to_device()
+        hit = self._analytic_hit(o, d, t_min)
+        if self.bvh is not None:
+            # The Pallas packet kernel runs the BVH walk on-chip with
+            # VMEM-resident triangles; falls back to the XLA while_loop off
+            # TPU or when the mesh exceeds the kernel's VMEM/SMEM budget.
+            if self.bvh_packed is not None and jax.default_backend() == "tpu":
+                bvh_hit = bvh_closest_hit_pallas(
+                    self.bvh, o, d, t_min, active=active, packed=self.bvh_packed
+                )
+            else:
+                bvh_hit = bvh_closest_hit(self.bvh, o, d, t_min, active=active)
+            hit = ops.merge_hits(hit, bvh_hit)
+        if self.instanced is not None:
+            # Two-level packet kernel on TPU (zero per-ray gathers); XLA
+            # while_loop fallback off TPU or past the SMEM budget.
+            if self.instanced_packed is not None and jax.default_backend() == "tpu":
+                inst_hit = tlas_closest_hit_pallas(
+                    self.instanced, o, d, t_min, active=active,
+                    packed=self.instanced_packed,
+                )
+            else:
+                inst_hit = instanced_closest_hit(
+                    self.instanced, o, d, t_min, active=active
+                )
+            hit = ops.merge_hits(hit, inst_hit)
+        if active is not None:
+            hit = ops.Hit(
+                t=jnp.where(active, hit.t, ops.INF),
+                normal=hit.normal,
+                mat_id=hit.mat_id,
+            )
+        return hit
+
+    def occluded(self, o, d, t_min, t_max, active=None) -> jnp.ndarray:
+        """Shadow query: True per ray iff any surface lies within
+        (t_min, t_max] along it — boolean-equal to
+        `intersect(...).t <= t_max` (the NEE visibility test of
+        renderer.rs:191-199) but mesh traversal early-exits on the first
+        hit instead of finding the closest one."""
+        self = self.to_device()
+        occ = self._analytic_hit(o, d, t_min).t <= t_max
+        if self.bvh is not None:
+            if self.bvh_packed is not None and jax.default_backend() == "tpu":
+                occ_b = bvh_occluded_pallas(
+                    self.bvh, o, d, t_min, t_max, active=active,
+                    packed=self.bvh_packed,
+                )
+            else:
+                occ_b = (
+                    bvh_closest_hit(self.bvh, o, d, t_min, active=active).t
+                    <= t_max
+                )
+            occ = occ | occ_b
+        if self.instanced is not None:
+            if self.instanced_packed is not None and jax.default_backend() == "tpu":
+                inst_hit = tlas_closest_hit_pallas(
+                    self.instanced, o, d, t_min, active=active,
+                    packed=self.instanced_packed,
+                )
+            else:
+                inst_hit = instanced_closest_hit(
+                    self.instanced, o, d, t_min, active=active
+                )
+            occ = occ | (inst_hit.t <= t_max)
+        if active is not None:
+            occ = occ & active
+        return occ
+
+    def _analytic_hit(self, o, d, t_min) -> ops.Hit:
+        """Closest hit against the brute-force analytic primitive batches
+        (spheres/cubes/planes/monomials/loose triangles) only."""
         hit = ops.no_hit(o.shape[0], o.dtype)
         if self.spheres is not None:
             hit = ops.merge_hits(
@@ -337,36 +409,6 @@ class SceneData:
                     (self.triangles.verts, self.triangles.norms, self.triangles.mat_id),
                     o, d, t_min,
                 ),
-            )
-        if self.bvh is not None:
-            # The Pallas packet kernel runs the BVH walk on-chip with
-            # VMEM-resident triangles; falls back to the XLA while_loop off
-            # TPU or when the mesh exceeds the kernel's VMEM/SMEM budget.
-            if self.bvh_packed is not None and jax.default_backend() == "tpu":
-                bvh_hit = bvh_closest_hit_pallas(
-                    self.bvh, o, d, t_min, active=active, packed=self.bvh_packed
-                )
-            else:
-                bvh_hit = bvh_closest_hit(self.bvh, o, d, t_min, active=active)
-            hit = ops.merge_hits(hit, bvh_hit)
-        if self.instanced is not None:
-            # Two-level packet kernel on TPU (zero per-ray gathers); XLA
-            # while_loop fallback off TPU or past the SMEM budget.
-            if self.instanced_packed is not None and jax.default_backend() == "tpu":
-                inst_hit = tlas_closest_hit_pallas(
-                    self.instanced, o, d, t_min, active=active,
-                    packed=self.instanced_packed,
-                )
-            else:
-                inst_hit = instanced_closest_hit(
-                    self.instanced, o, d, t_min, active=active
-                )
-            hit = ops.merge_hits(hit, inst_hit)
-        if active is not None:
-            hit = ops.Hit(
-                t=jnp.where(active, hit.t, ops.INF),
-                normal=hit.normal,
-                mat_id=hit.mat_id,
             )
         return hit
 

@@ -12,7 +12,11 @@ import jax.numpy as jnp
 import pytest
 
 from rpt_tpu.ops.bvh import build_bvh, bvh_closest_hit
-from rpt_tpu.ops.bvh_pallas import bvh_closest_hit_pallas, pack_bvh_for_pallas
+from rpt_tpu.ops.bvh_pallas import (
+    bvh_closest_hit_pallas,
+    bvh_occluded_pallas,
+    pack_bvh_for_pallas,
+)
 
 
 def _random_mesh(n_tris: int, seed: int = 0):
@@ -133,3 +137,48 @@ def test_pack_layout():
     np.testing.assert_allclose(
         tri.reshape(T, 128)[:, 0:3], np.asarray(bvh.verts)[:, 0], rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("n_chunks_budget", [None, 37])
+def test_pallas_occlusion_matches_closest(monkeypatch, n_chunks_budget):
+    """Any-hit shadow kernel: boolean parity with `closest.t <= t_max` on
+    single-chunk and chunked layouts, including the per-lane max distance
+    (NEE visibility, renderer.rs:191-199)."""
+    import rpt_tpu.ops.bvh_pallas as bp
+
+    if n_chunks_budget is not None:
+        monkeypatch.setattr(bp, "CHUNK_NODES", n_chunks_budget)
+    verts, norms, mats = _random_mesh(400, seed=5)
+    bvh = build_bvh(verts, norms, mats)
+    packed = bp.pack_bvh_for_pallas(bvh)
+    o, d = _rays_at_mesh(333, verts, seed=6)
+    t_min = 1e-3
+
+    ref_t = np.asarray(bvh_closest_hit(bvh, o, d, t_min).t)
+    # t_max chosen per-lane so some hits fall beyond it (light closer than
+    # the occluder -> visible) and some within.
+    rng = np.random.default_rng(7)
+    t_max = jnp.asarray(rng.uniform(2.0, 6.0, o.shape[0]), jnp.float32)
+
+    got = bp.bvh_occluded_pallas(
+        bvh, o, d, t_min, t_max, packed=packed, interpret=True
+    )
+    want = ref_t <= np.asarray(t_max)
+    # Guard against a degenerate test: need both occluded and visible lanes.
+    assert want.any() and (~want).any()
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_pallas_occlusion_active_mask():
+    verts, norms, mats = _random_mesh(100)
+    bvh = build_bvh(verts, norms, mats)
+    o, d = _rays_at_mesh(256, verts)
+    active = jnp.arange(256) % 2 == 0
+    t_max = jnp.full((256,), 10.0, jnp.float32)
+
+    got = bvh_occluded_pallas(bvh, o, d, 1e-3, t_max, active=active, interpret=True)
+    full = bvh_occluded_pallas(bvh, o, d, 1e-3, t_max, interpret=True)
+    got = np.asarray(got)
+    # Inactive lanes are never occluded; active lanes agree with unmasked.
+    assert not got[1::2].any()
+    np.testing.assert_array_equal(got[0::2], np.asarray(full)[0::2])
