@@ -47,7 +47,13 @@ from .bvh import _tri_hit_t
 from .bvh_pallas import LANES, KMAX, TRI_ROW, _BIG, _swizzle_tris
 from .tlas import InstancedMeshes
 
-__all__ = ["tlas_closest_hit_pallas", "pack_tlas_for_pallas", "tlas_pallas_eligible", "TlasPack"]
+__all__ = [
+    "tlas_closest_hit_pallas",
+    "tlas_occluded_pallas",
+    "pack_tlas_for_pallas",
+    "tlas_pallas_eligible",
+    "TlasPack",
+]
 
 # SMEM budget: TLAS/BLAS nodes cost 48 B each (8 f32 bounds + 4 i32 meta),
 # instances 64 B (12 f32 affine + 4 i32 meta). Keep the combined tables well
@@ -343,6 +349,265 @@ def _kernel(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tmin_ref,
     t_ref[0] = t_best
     id_ref[0] = best_id
     inst_ref[0] = best_inst
+
+
+def _kernel_occl(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tmin_ref,
+                 rays_ref, tri_ref, occ_ref, tri_scratch, dma_sem):
+    """Occlusion (any-hit) variant of the two-level kernel for NEE shadow
+    rays. Ray row 7 carries the per-lane light distance (the box-prune
+    bound); a lane with any hit inside it stops opening boxes, and both
+    loops exit once every live lane is occluded. The liveness reduce runs
+    once per leaf test so the while conds stay scalar-only (see
+    bvh_pallas._kernel_occl)."""
+    Mt = t_meta.shape[0] // 4
+    r = rays_ref[0]  # (8, 128): ox oy oz dx dy dz active t_max
+    wox, woy, woz = r[0:1, :], r[1:2, :], r[2:3, :]
+    wdx, wdy, wdz = r[3:4, :], r[4:5, :], r[5:6, :]
+    act = r[6:7, :] > 0.5
+    t_max = r[7:8, :]
+    t_min = tmin_ref[0]
+
+    def safe_inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) > 1e-20, c, jnp.where(c < 0.0, -1e-20, 1e-20))
+
+    iwx, iwy, iwz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
+    row_k = jax.lax.broadcasted_iota(jnp.int32, (KMAX, LANES), 0)
+
+    def slab(bounds_ref, b8, ox, oy, oz, ivx, ivy, ivz, occ):
+        t1x = (bounds_ref[b8 + 0] - ox) * ivx
+        t2x = (bounds_ref[b8 + 3] - ox) * ivx
+        t1y = (bounds_ref[b8 + 1] - oy) * ivy
+        t2y = (bounds_ref[b8 + 4] - oy) * ivy
+        t1z = (bounds_ref[b8 + 2] - oz) * ivz
+        t2z = (bounds_ref[b8 + 5] - oz) * ivz
+        lo = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        hi = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        return (lo <= hi) & (hi >= t_min) & (lo <= t_max) & act & (occ < 0.5)
+
+    def blas_walk(inst, occ, alive):
+        i4 = inst * 4
+        root = inst_i[i4]
+        end = inst_i[i4 + 1]
+        f = inst * 12
+        a00, a01, a02, a03 = inst_f[f + 0], inst_f[f + 1], inst_f[f + 2], inst_f[f + 3]
+        a10, a11, a12, a13 = inst_f[f + 4], inst_f[f + 5], inst_f[f + 6], inst_f[f + 7]
+        a20, a21, a22, a23 = inst_f[f + 8], inst_f[f + 9], inst_f[f + 10], inst_f[f + 11]
+        lox = a00 * wox + a01 * woy + a02 * woz + a03
+        loy = a10 * wox + a11 * woy + a12 * woz + a13
+        loz = a20 * wox + a21 * woy + a22 * woz + a23
+        ldx = a00 * wdx + a01 * wdy + a02 * wdz
+        ldy = a10 * wdx + a11 * wdy + a12 * wdz
+        ldz = a20 * wdx + a21 * wdy + a22 * wdz
+        ilx, ily, ilz = safe_inv(ldx), safe_inv(ldy), safe_inv(ldz)
+
+        def test_pending(buf, count, occ):
+            tri = tri_scratch[buf]  # (8, 128): triangle k on sublane k
+            v0x, v0y, v0z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+            e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
+            e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
+            pnx, pny, pnz = tri[:, 9:10], tri[:, 10:11], tri[:, 11:12]
+            pv = tri[:, 12:13]
+            d00, d01, d11 = tri[:, 13:14], tri[:, 14:15], tri[:, 15:16]
+            inv_den = tri[:, 16:17]
+
+            cos = pnx * ldx + pny * ldy + pnz * ldz
+            cos_safe = jnp.where(jnp.abs(cos) > 1e-8, cos, 1e-8)
+            t = (pv - (pnx * lox + pny * loy + pnz * loz)) / cos_safe
+            ddx = lox + t * ldx - v0x
+            ddy = loy + t * ldy - v0y
+            ddz = loz + t * ldz - v0z
+            d20 = ddx * e1x + ddy * e1y + ddz * e1z
+            d21 = ddx * e2x + ddy * e2y + ddz * e2z
+            v = (d11 * d20 - d01 * d21) * inv_den
+            w = (d00 * d21 - d01 * d20) * inv_den
+            u = 1.0 - v - w
+            ok = (
+                (jnp.abs(cos) >= 1e-8)
+                & (t >= t_min)
+                & (t <= t_max)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (w >= 0.0)
+                & (row_k < count)
+            )
+            hit_lane = jnp.any(ok, axis=0, keepdims=True)  # (1,128)
+            occ = jnp.where(hit_lane, 1.0, occ)
+            alive = jnp.any(act & (occ < 0.5))
+            return occ, alive
+
+        def bcond(state):
+            return state[0] < end
+
+        def bbody(state):
+            bptr, occ, alive, p_start, p_count, cur = state
+            m4 = bptr * 4
+            skip = b_meta[m4]
+            start = b_meta[m4 + 1]
+            count = b_meta[m4 + 2]
+            box_hit = slab(b_bounds, bptr * 8, lox, loy, loz, ilx, ily, ilz, occ)
+            hit_any = jnp.any(box_hit)
+            new_leaf = hit_any & (count > 0)
+
+            @pl.when(new_leaf)
+            def _():
+                pltpu.make_async_copy(
+                    tri_ref.at[start // KMAX], tri_scratch.at[1 - cur],
+                    dma_sem.at[1 - cur],
+                ).start()
+
+            def flush(args):
+                occ, _ = args
+                pltpu.make_async_copy(
+                    tri_ref.at[p_start // KMAX], tri_scratch.at[cur],
+                    dma_sem.at[cur],
+                ).wait()
+                return test_pending(cur, p_count, occ)
+
+            occ, alive = jax.lax.cond(
+                new_leaf & (p_count > 0), flush, lambda a: a, (occ, alive)
+            )
+            p_start = jnp.where(new_leaf, start, p_start)
+            p_count = jnp.where(new_leaf, count, p_count)
+            cur = jnp.where(new_leaf, 1 - cur, cur)
+            bptr = jnp.where(hit_any & (count == 0), bptr + 1, skip)
+            bptr = jnp.where(alive, bptr, end)
+            return bptr, occ, alive, p_start, p_count, cur
+
+        _, occ, alive, p_start, p_count, cur = jax.lax.while_loop(
+            bcond, bbody,
+            (root, occ, alive, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        )
+
+        def drain(args):
+            occ, _ = args
+            pltpu.make_async_copy(
+                tri_ref.at[p_start // KMAX], tri_scratch.at[cur], dma_sem.at[cur]
+            ).wait()
+            return test_pending(cur, p_count, occ)
+
+        occ, alive = jax.lax.cond(
+            p_count > 0, drain, lambda a: a, (occ, alive)
+        )
+        return occ, alive
+
+    def cond(state):
+        return state[0] < Mt
+
+    def body(state):
+        tptr, occ, alive = state
+        m4 = tptr * 4
+        skip = t_meta[m4]
+        leaf_inst = t_meta[m4 + 1]
+        box_hit = slab(t_bounds, tptr * 8, wox, woy, woz, iwx, iwy, iwz, occ)
+        hit_any = jnp.any(box_hit)
+        is_leaf = leaf_inst >= 0
+        occ, alive = jax.lax.cond(
+            hit_any & is_leaf,
+            lambda a: blas_walk(leaf_inst, *a),
+            lambda a: a,
+            (occ, alive),
+        )
+        tptr = jnp.where(hit_any & (~is_leaf), tptr + 1, skip)
+        tptr = jnp.where(alive, tptr, Mt)
+        return tptr, occ, alive
+
+    occ0 = jnp.zeros((1, LANES), jnp.float32)
+    _, occ, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), occ0, jnp.any(act))
+    )
+    occ_ref[0] = occ
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _traverse_occl(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f,
+                   tri_pack, rays, t_min, *, interpret=False):
+    G = rays.shape[0]
+    t_min_arr = jnp.reshape(t_min.astype(jnp.float32), (1,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # t_meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # t_bounds
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # b_meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # b_bounds
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # inst_i
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # inst_f
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # t_min (1,)
+            pl.BlockSpec(
+                (1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),  # rays
+            pl.BlockSpec(memory_space=pl.ANY),  # tri_pack (L,8,128), HBM
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, KMAX, TRI_ROW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    (occ_out,) = pl.pallas_call(
+        _kernel_occl,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((G, 1, LANES), jnp.float32)],
+        interpret=interpret,
+    )(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, t_min_arr, rays,
+      tri_pack)
+    return occ_out
+
+
+def tlas_occluded_pallas(
+    im: InstancedMeshes,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_min,
+    t_max: jnp.ndarray,
+    active=None,
+    packed: TlasPack = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Any-hit shadow query against every mesh instance: True where some
+    triangle lies in [t_min, t_max]. Boolean-equal to
+    `tlas_closest_hit_pallas(...).t <= t_max` with per-lane early exit."""
+    if packed is None:
+        packed = pack_tlas_for_pallas(im)
+    packed = jax.tree_util.tree_map(jnp.asarray, packed)
+
+    N = o.shape[0]
+    G = -(-N // LANES)
+    pad = G * LANES - N
+    o32 = o.astype(jnp.float32)
+    d32 = d.astype(jnp.float32)
+    if active is None:
+        act = jnp.ones((N,), jnp.float32)
+    else:
+        act = active.astype(jnp.float32)
+    tmax32 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    comp = jnp.stack(
+        [o32[:, 0], o32[:, 1], o32[:, 2], d32[:, 0], d32[:, 1], d32[:, 2], act,
+         tmax32],
+        axis=0,
+    )  # (8, N)
+    if pad:
+        comp = jnp.pad(comp, ((0, 0), (0, pad)))
+    rays = comp.reshape(8, G, LANES).transpose(1, 0, 2)  # (G, 8, 128)
+
+    occ_out = _traverse_occl(
+        packed.t_meta, packed.t_bounds, packed.b_meta, packed.b_bounds,
+        packed.inst_i, packed.inst_f, packed.tri, rays, jnp.asarray(t_min),
+        interpret=interpret,
+    )
+    occ = occ_out.reshape(-1)[:N] > 0.5
+    if active is not None:
+        occ = occ & active
+    return occ
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

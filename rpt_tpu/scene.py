@@ -49,6 +49,7 @@ from .ops.tlas import InstancedMeshes, build_instanced, instanced_closest_hit
 from .ops.tlas_pallas import (
     pack_tlas_for_pallas,
     tlas_closest_hit_pallas,
+    tlas_occluded_pallas,
     tlas_pallas_eligible,
 )
 from .shapes import (
@@ -343,15 +344,18 @@ class SceneData:
             occ = occ | occ_b
         if self.instanced is not None:
             if self.instanced_packed is not None and jax.default_backend() == "tpu":
-                inst_hit = tlas_closest_hit_pallas(
-                    self.instanced, o, d, t_min, active=active,
+                occ_i = tlas_occluded_pallas(
+                    self.instanced, o, d, t_min, t_max, active=active,
                     packed=self.instanced_packed,
                 )
             else:
-                inst_hit = instanced_closest_hit(
-                    self.instanced, o, d, t_min, active=active
+                occ_i = (
+                    instanced_closest_hit(
+                        self.instanced, o, d, t_min, active=active
+                    ).t
+                    <= t_max
                 )
-            occ = occ | (inst_hit.t <= t_max)
+            occ = occ | occ_i
         if active is not None:
             occ = occ & active
         return occ

@@ -15,6 +15,7 @@ from rpt_tpu.ops.tlas import build_instanced, instanced_closest_hit
 from rpt_tpu.ops.tlas_pallas import (
     pack_tlas_for_pallas,
     tlas_closest_hit_pallas,
+    tlas_occluded_pallas,
     tlas_pallas_eligible,
 )
 
@@ -151,3 +152,37 @@ def test_tlas_pack_layout():
     b_meta = np.asarray(pack.b_meta).reshape(Mb, 4)
     counted = int(b_meta[:, 2].sum())
     assert counted == np.asarray(im.verts).shape[0]
+
+
+def test_tlas_occlusion_matches_closest():
+    """Any-hit shadow variant of the two-level kernel: boolean parity with
+    `closest.t <= t_max`, with a per-lane max distance so some hits fall
+    beyond the light (visible) and some within (occluded)."""
+    meshes, instances = _build_instanced_scene(3, 17, seed=11)
+    im = build_instanced(meshes, instances)
+    o, d = _rays_at_instances(333, meshes, instances, seed=12)
+    t_min = 1e-3
+
+    ref_t = np.asarray(tlas_closest_hit_pallas(im, o, d, t_min, interpret=True).t)
+    rng = np.random.default_rng(13)
+    t_max = jnp.asarray(rng.uniform(2.0, 7.0, o.shape[0]), jnp.float32)
+
+    got = tlas_occluded_pallas(im, o, d, t_min, t_max, interpret=True)
+    want = ref_t <= np.asarray(t_max)
+    assert want.any() and (~want).any()
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_tlas_occlusion_active_mask():
+    meshes, instances = _build_instanced_scene(2, 7, seed=21)
+    im = build_instanced(meshes, instances)
+    o, d = _rays_at_instances(256, meshes, instances, seed=22)
+    active = jnp.arange(256) % 2 == 0
+    t_max = jnp.full((256,), 10.0, jnp.float32)
+
+    got = np.asarray(
+        tlas_occluded_pallas(im, o, d, 1e-3, t_max, active=active, interpret=True)
+    )
+    full = np.asarray(tlas_occluded_pallas(im, o, d, 1e-3, t_max, interpret=True))
+    assert not got[1::2].any()
+    np.testing.assert_array_equal(got[0::2], full[0::2])
