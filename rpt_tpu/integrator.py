@@ -26,6 +26,14 @@ per-depth prefix-sum + gathers cost more than they save (TPU v5e A/B at
 6 bounces: 0.97x on dragon, 0.69x on teapot-glass — see _auto_compact and
 tools/compaction_ab.py). The flag remains for scenes with genuinely
 incoherent death; it is bit-identical to the masked path by construction.
+
+Octant sorting (`compact="octant"`): additionally groups live lanes by
+direction sign bits via a 9-bucket counting sort, a coherence proxy for
+scattered bounce rays. ALSO MEASURED AND REJECTED as default on the same
+A/B (dragon 6-bounce: 0.93x) — surviving deep lanes are already spatially
+clustered, so the full-wavefront permutation gathers outweigh the packet
+node-union reduction. Kept (bit-identical, tested) for genuinely
+incoherent wavefronts.
 """
 
 from __future__ import annotations
@@ -70,6 +78,43 @@ def _intersect_compacted(scene, o, d, t_min, active):
     return jax.tree_util.tree_map(lambda x: x[pos], hit)
 
 
+def _octant_perm(d: jnp.ndarray, active: jnp.ndarray):
+    """Stable 9-bucket counting sort of the wavefront: live lanes grouped by
+    direction octant (sign of dx/dy/dz), dead lanes last. Packet traversal
+    visits the union of its 128 lanes' node sets; bounce rays scattered by a
+    diffuse BSDF destroy the spatial coherence that makes that union small,
+    and octant grouping restores a cheap proxy for it. O(9N) adds/cumsums —
+    no argsort. Returns (perm, pos) with sorted[i] = orig[perm[i]]."""
+    n = d.shape[0]
+    key = (
+        (d[:, 0] < 0).astype(jnp.int32)
+        + 2 * (d[:, 1] < 0).astype(jnp.int32)
+        + 4 * (d[:, 2] < 0).astype(jnp.int32)
+    )
+    key = jnp.where(active, key, 8)
+    onehot = key[:, None] == jnp.arange(9, dtype=jnp.int32)[None, :]  # (N,9)
+    ranks = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1
+    counts = jnp.sum(onehot, axis=0)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    rank = jnp.sum(jnp.where(onehot, ranks, 0), axis=1)
+    pos = (offsets[key] + rank).astype(jnp.int32)
+    perm = (
+        jnp.zeros((n,), jnp.int32).at[pos].set(jnp.arange(n, dtype=jnp.int32))
+    )
+    return perm, pos
+
+
+def _intersect_octsorted(scene, o, d, t_min, active):
+    """scene.intersect with the wavefront octant-sorted (live lanes grouped
+    by direction sign bits, dead lanes last). Bit-identical results to the
+    masked path — permutation cannot change any lane's closest hit."""
+    perm, pos = _octant_perm(d, active)
+    hit = scene.intersect(o[perm], d[perm], t_min, active=active[perm])
+    return jax.tree_util.tree_map(lambda x: x[pos], hit)
+
+
 def _auto_compact(scene, max_bounces: int) -> bool:
     """MEASURED OFF. Compaction could only pay where traversal is per-packet
     (the Pallas kernels) with live lanes scattered across packets — but
@@ -109,7 +154,13 @@ def sample_lights(scene, mat, pos, n, wo, key, t_min, found, compact=False) -> j
         intensity, wi, dist = light.illuminate(k_i, pos)
         # Shadow rays only matter for lanes that hit a surface; dead lanes
         # park immediately inside the BVH/TLAS traversal.
-        if compact:
+        if compact == "octant":
+            perm, pos_inv = _octant_perm(wi, found)
+            occ = scene.occluded(
+                pos[perm], wi[perm], t_min, dist[perm], active=found[perm]
+            )
+            visible = ~occ[pos_inv]
+        elif compact:
             shadow = _intersect_compacted(scene, pos, wi, t_min, found)
             visible = (~shadow.valid) | (shadow.t > dist)
         else:
@@ -130,7 +181,7 @@ def trace_paths(
     max_bounces: int,
     t_min: float,
     firefly_clamp: float = FIREFLY_CLAMP,
-    compact: bool | None = None,
+    compact: bool | str | None = None,
     want_stats: bool = False,
 ) -> jnp.ndarray:
     """Monte Carlo radiance estimate for N camera rays; returns (N, 3).
@@ -141,7 +192,9 @@ def trace_paths(
     on each indirect contribution.
 
     `compact`: partition each post-camera wavefront live-first so dead lanes
-    form all-dead packets (see module docstring). None = auto.
+    form all-dead packets (see module docstring); "octant" additionally
+    groups live lanes by direction octant (coherence proxy for scattered
+    bounce rays). Both are bit-identical to the masked path. None = auto.
     `want_stats`: also return {"found_frac", "cont_frac"} per depth — the
     live-lane occupancy counters behind rpt_tpu.profiling.depth_stats.
     """
@@ -160,6 +213,8 @@ def trace_paths(
 
         if depth == 0:
             hit = scene.intersect(o, d, t_min)
+        elif compact == "octant":
+            hit = _intersect_octsorted(scene, o, d, t_min, active)
         elif compact:
             hit = _intersect_compacted(scene, o, d, t_min, active)
         else:

@@ -100,3 +100,38 @@ def test_depth_stats_decay_and_counters():
 
     meter = measure_rays_per_sec(r, warmup=1, passes=2)
     assert meter["rays_per_sec"] > 0 and meter["rays"] == 48 * 32 * 10 * 2
+
+
+def test_octant_perm_groups_and_inverts():
+    from rpt_tpu.integrator import _octant_perm
+
+    rng = np.random.default_rng(3)
+    d = jnp.asarray(rng.normal(size=(777, 3)), jnp.float32)
+    active = jnp.asarray(rng.random(777) < 0.6)
+    perm, pos = _octant_perm(d, active)
+    perm_n, pos_n = np.asarray(perm), np.asarray(pos)
+    # pos is the exact inverse of perm
+    np.testing.assert_array_equal(perm_n[pos_n], np.arange(777))
+    # sorted order: live lanes grouped by non-decreasing octant, dead last
+    dn, an = np.asarray(d), np.asarray(active)
+    key = (dn[:, 0] < 0) + 2 * (dn[:, 1] < 0) + 4 * (dn[:, 2] < 0)
+    key = np.where(an, key, 8)
+    sorted_key = key[perm_n]
+    assert (np.diff(sorted_key) >= 0).all()
+    # stability within each bucket
+    for b in range(9):
+        np.testing.assert_array_equal(
+            perm_n[sorted_key == b], np.flatnonzero(key == b)
+        )
+
+
+def test_octsorted_trace_bit_identical():
+    scene, cam = _mesh_scene()
+    sd = scene.compile()
+    xg, yg, dim = pixel_ndc(48, 32)
+    key = jax.random.PRNGKey(7)
+    o, d = cam.cast_rays(xg, yg, key)
+
+    plain = trace_paths(sd, o, d, key, 3, 1e-3, compact=False)
+    sorted_ = trace_paths(sd, o, d, key, 3, 1e-3, compact="octant")
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(sorted_))

@@ -88,7 +88,9 @@ def measure(name, passes):
     stats = jax.device_get(occ())
     out["cont_frac"] = [round(float(x), 4) for x in stats["cont_frac"]]
 
-    for label, compact in (("masked", False), ("compacted", True)):
+    for label, compact in (
+        ("masked", False), ("compacted", True), ("octant", "octant")
+    ):
         fn = make_fn(compact)
         jax.block_until_ready(fn(key, 1))  # compile + warm
         t0 = time.perf_counter()
@@ -98,6 +100,9 @@ def measure(name, passes):
         out[label] = {"seconds": round(dt, 3),
                       "mrays_per_sec": round(rays / dt / 1e6, 3)}
     out["speedup"] = round(out["masked"]["seconds"] / out["compacted"]["seconds"], 3)
+    out["speedup_octant"] = round(
+        out["masked"]["seconds"] / out["octant"]["seconds"], 3
+    )
     print(json.dumps(out), flush=True)
     return out
 
