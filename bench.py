@@ -47,9 +47,22 @@ WORKLOADS = {
     "teapot": (800, 800, 0, 1, 2, 20),
     "fractal_teapots": (800, 600, 0, 2, 2, 20),
     "dragon": (960, 540, 2, 2, 1, 10),
+    # The reference's flagship heavyweights at their REAL configs
+    # (VERDICT r3 items 2-3):
+    #   dragon871k — the actual dragon.zip triangle count (dragon.rs:11-22),
+    #     synthesized procedurally (no egress), chunked SMEM-streamed BVH
+    #   wine_glass — 1920x1080, 6-bounce dielectric + env (wine_glass.rs:70-74)
+    #   pegasus    — 1200x1200, 8 bounces, HDRI sky, no NEE lights
+    #     (pegasus.rs:81-85); shadow=0 because the scene is env-lit only
+    "dragon871k": (960, 540, 2, 2, 1, 5),
+    "wine_glass": (1920, 1080, 6, 1, 1, 5),
+    "pegasus": (1200, 1200, 8, 0, 1, 5),
 }
 HEADLINE = "cornell"
-TPU_ATTEMPTS = {"cornell": 3, "teapot": 2, "fractal_teapots": 2, "dragon": 2}
+TPU_ATTEMPTS = {
+    "cornell": 3, "teapot": 2, "fractal_teapots": 2, "dragon": 2,
+    "dragon871k": 2, "wine_glass": 2, "pegasus": 2,
+}
 
 
 def _log(msg):
@@ -84,6 +97,37 @@ def _build(name: str):
             (-2.5, 4.0, 6.5), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), math.pi / 6
         )
         return build_scene(None), camera, 1e-3
+    if name == "dragon871k":
+        from dragon import build_scene
+
+        from rpt_tpu import Camera
+
+        camera = Camera.look_at(
+            (-2.5, 4.0, 6.5), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), math.pi / 6
+        )
+        return build_scene(None, target_tris=871_000), camera, 1e-3
+    if name == "wine_glass":
+        import numpy as np
+
+        from wine_glass import DEFAULT_OBJ, build_scene
+
+        from rpt_tpu import Camera
+
+        eye = np.array([5.530, 4.375, 5.384])
+        camera = Camera.look_at(
+            eye, eye + np.array([-0.6962, -0.3754, -0.6119]),
+            [0.0, 1.0, 0.0], 0.6911,
+        )
+        return build_scene(DEFAULT_OBJ), camera, 1e-3
+    if name == "pegasus":
+        from pegasus import DEFAULT_ZIP, build_scene
+
+        from rpt_tpu import Camera
+
+        camera = Camera.look_at(
+            (0.0, 1.5, 3.1), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0), math.pi / 4
+        )
+        return build_scene(DEFAULT_ZIP), camera, 1e-3
     raise ValueError(name)
 
 

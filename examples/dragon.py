@@ -79,10 +79,18 @@ def trefoil_mesh(segments: int = 600, sides: int = 100, radius: float = 0.09):
     return triangle_mesh(v, n)
 
 
-def build_scene(obj_path=None) -> Scene:
+def build_scene(obj_path=None, target_tris: int | None = None) -> Scene:
+    """`target_tris`: synthesize a procedural mesh of at least this many
+    triangles (e.g. 871_000 to match the real dragon.zip scale,
+    dragon.rs:11-22) instead of the default ~120k stand-in."""
     scene = Scene()
     if obj_path:
         mesh = load_obj(obj_path)
+    elif target_tris:
+        # Keep the ~6:1 segments:sides aspect of the default knot.
+        sides = max(int(round((target_tris / 12.0) ** 0.5)), 8)
+        segments = -(-target_tris // (2 * sides))
+        mesh = trefoil_mesh(segments=segments, sides=sides)
     else:
         print("No --obj given (no egress to fetch dragon.zip); using the "
               "procedural high-poly stand-in")

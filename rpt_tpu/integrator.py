@@ -161,8 +161,14 @@ def sample_lights(scene, mat, pos, n, wo, key, t_min, found, compact=False) -> j
             )
             visible = ~occ[pos_inv]
         elif compact:
-            shadow = _intersect_compacted(scene, pos, wi, t_min, found)
-            visible = (~shadow.valid) | (shadow.t > dist)
+            # Compose compaction with the any-hit query (ADVICE r3): permute
+            # live-first, run the early-exit occlusion kernels, un-permute —
+            # so every compact mode shares the any-hit path.
+            perm, pos_inv = _compaction_perm(found)
+            occ = scene.occluded(
+                pos[perm], wi[perm], t_min, dist[perm], active=found[perm]
+            )
+            visible = ~occ[pos_inv]
         else:
             # Any-hit query: boolean-equal to `closest.t <= dist` but the
             # packet kernels early-exit on the first occluder.

@@ -44,7 +44,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils.vmath import normalize
 from .intersect import Hit, INF
 from .bvh import _tri_hit_t
-from .bvh_pallas import LANES, KMAX, TRI_ROW, _BIG, _swizzle_tris
+from .bvh_pallas import (
+    DEFAULT_SUBS, LANES, KMAX, TRI_ROW, _BIG, _pack_rays, _swizzle_tris,
+)
 from .tlas import InstancedMeshes
 
 __all__ = [
@@ -162,16 +164,19 @@ def pack_tlas_for_pallas(im: InstancedMeshes) -> TlasPack:
 
 def _kernel(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tmin_ref,
             rays_ref, tri_ref, t_ref, id_ref, inst_ref, tri_scratch, dma_sem):
-    """One packet (128 rays) vs. the whole two-level structure. Outer
-    while_loop walks the TLAS preorder; a TLAS leaf whose instance box is hit
-    by any live lane runs a nested while_loop over that instance's BLAS with
-    the packet's rays re-expressed in instance-local space (12 scalar SMEM
-    loads, no per-lane work)."""
+    """One packet (SUBS*128 rays on the full (SUBS, 128) VPU register) vs.
+    the whole two-level structure. Outer while_loop walks the TLAS preorder;
+    a TLAS leaf whose instance box is hit by any live lane runs a nested
+    while_loop over that instance's BLAS with the packet's rays re-expressed
+    in instance-local space (12 scalar SMEM loads, no per-lane work). With
+    SUBS=8 one instance entry — the 12-scalar affine load plus the whole
+    BLAS subtree walk — is amortized over 1024 rays instead of 128."""
     Mt = t_meta.shape[0] // 4
-    r = rays_ref[0]  # (8, 128): ox oy oz dx dy dz active pad
-    wox, woy, woz = r[0:1, :], r[1:2, :], r[2:3, :]
-    wdx, wdy, wdz = r[3:4, :], r[4:5, :], r[5:6, :]
-    act = r[6:7, :] > 0.5
+    r = rays_ref[0]  # (8, SUBS, 128): ox oy oz dx dy dz active pad
+    SUBS = r.shape[1]
+    wox, woy, woz = r[0], r[1], r[2]  # (SUBS, 128)
+    wdx, wdy, wdz = r[3], r[4], r[5]
+    act = r[6] > 0.5
     t_min = tmin_ref[0]
 
     def safe_inv(c):
@@ -217,7 +222,8 @@ def _kernel(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tmin_ref,
         ilx, ily, ilz = safe_inv(ldx), safe_inv(ldy), safe_inv(ldz)
 
         def test_pending(buf, start, count, t_best, best_id, best_inst):
-            """8-triangle block already resident in scratch half `buf`."""
+            """8-triangle block already resident in scratch half `buf`,
+            against each 128-ray subgroup in turn (full tile per pass)."""
             tri = tri_scratch[buf]  # (8, 128): triangle k on sublane k
             v0x, v0y, v0z = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
             e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
@@ -227,34 +233,44 @@ def _kernel(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tmin_ref,
             d00, d01, d11 = tri[:, 13:14], tri[:, 14:15], tri[:, 15:16]
             inv_den = tri[:, 16:17]
 
-            cos = pnx * ldx + pny * ldy + pnz * ldz
-            cos_safe = jnp.where(jnp.abs(cos) > 1e-8, cos, 1e-8)
-            t = (pv - (pnx * lox + pny * loy + pnz * loz)) / cos_safe
-            ddx = lox + t * ldx - v0x
-            ddy = loy + t * ldy - v0y
-            ddz = loz + t * ldz - v0z
-            d20 = ddx * e1x + ddy * e1y + ddz * e1z
-            d21 = ddx * e2x + ddy * e2y + ddz * e2z
-            v = (d11 * d20 - d01 * d21) * inv_den
-            w = (d00 * d21 - d01 * d20) * inv_den
-            u = 1.0 - v - w
-            ok = (
-                (jnp.abs(cos) >= 1e-8)
-                & (t >= t_min)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (w >= 0.0)
-                & (row_k < count)
-            )
-            th = jnp.where(ok, t, _BIG)  # (8,128)
-            t_leaf = jnp.min(th, axis=0, keepdims=True)  # (1,128)
-            k_best = jnp.min(
-                jnp.where(th == t_leaf, row_k, KMAX), axis=0, keepdims=True
-            )
-            better = t_leaf < t_best
-            best_id = jnp.where(better, start + k_best, best_id)
-            best_inst = jnp.where(better, inst, best_inst)
-            t_best = jnp.minimum(t_best, t_leaf)
+            t_rows, id_rows, in_rows = [], [], []
+            for g in range(SUBS):
+                loxg, loyg, lozg = lox[g:g + 1], loy[g:g + 1], loz[g:g + 1]
+                ldxg, ldyg, ldzg = ldx[g:g + 1], ldy[g:g + 1], ldz[g:g + 1]
+                cos = pnx * ldxg + pny * ldyg + pnz * ldzg
+                cos_safe = jnp.where(jnp.abs(cos) > 1e-8, cos, 1e-8)
+                t = (pv - (pnx * loxg + pny * loyg + pnz * lozg)) / cos_safe
+                ddx = loxg + t * ldxg - v0x
+                ddy = loyg + t * ldyg - v0y
+                ddz = lozg + t * ldzg - v0z
+                d20 = ddx * e1x + ddy * e1y + ddz * e1z
+                d21 = ddx * e2x + ddy * e2y + ddz * e2z
+                v = (d11 * d20 - d01 * d21) * inv_den
+                w = (d00 * d21 - d01 * d20) * inv_den
+                u = 1.0 - v - w
+                ok = (
+                    (jnp.abs(cos) >= 1e-8)
+                    & (t >= t_min)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (w >= 0.0)
+                    & (row_k < count)
+                )
+                th = jnp.where(ok, t, _BIG)  # (8,128)
+                t_leaf = jnp.min(th, axis=0, keepdims=True)  # (1,128)
+                k_best = jnp.min(
+                    jnp.where(th == t_leaf, row_k, KMAX), axis=0, keepdims=True
+                )
+                tb = t_best[g:g + 1]
+                better = t_leaf < tb
+                id_rows.append(
+                    jnp.where(better, start + k_best, best_id[g:g + 1])
+                )
+                in_rows.append(jnp.where(better, inst, best_inst[g:g + 1]))
+                t_rows.append(jnp.minimum(tb, t_leaf))
+            t_best = t_rows[0] if SUBS == 1 else jnp.concatenate(t_rows, axis=0)
+            best_id = id_rows[0] if SUBS == 1 else jnp.concatenate(id_rows, axis=0)
+            best_inst = in_rows[0] if SUBS == 1 else jnp.concatenate(in_rows, axis=0)
             return t_best, best_id, best_inst
 
         def bcond(state):
@@ -341,9 +357,9 @@ def _kernel(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tmin_ref,
         body,
         (
             jnp.int32(0),
-            jnp.full((1, LANES), _BIG, jnp.float32),
-            jnp.zeros((1, LANES), jnp.int32),
-            jnp.zeros((1, LANES), jnp.int32),
+            jnp.full((SUBS, LANES), _BIG, jnp.float32),
+            jnp.zeros((SUBS, LANES), jnp.int32),
+            jnp.zeros((SUBS, LANES), jnp.int32),
         ),
     )
     t_ref[0] = t_best
@@ -360,11 +376,12 @@ def _kernel_occl(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tmin_ref,
     once per leaf test so the while conds stay scalar-only (see
     bvh_pallas._kernel_occl)."""
     Mt = t_meta.shape[0] // 4
-    r = rays_ref[0]  # (8, 128): ox oy oz dx dy dz active t_max
-    wox, woy, woz = r[0:1, :], r[1:2, :], r[2:3, :]
-    wdx, wdy, wdz = r[3:4, :], r[4:5, :], r[5:6, :]
-    act = r[6:7, :] > 0.5
-    t_max = r[7:8, :]
+    r = rays_ref[0]  # (8, SUBS, 128): ox oy oz dx dy dz active t_max
+    SUBS = r.shape[1]
+    wox, woy, woz = r[0], r[1], r[2]  # (SUBS, 128)
+    wdx, wdy, wdz = r[3], r[4], r[5]
+    act = r[6] > 0.5
+    t_max = r[7]
     t_min = tmin_ref[0]
 
     def safe_inv(c):
@@ -416,28 +433,33 @@ def _kernel_occl(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tmin_ref,
             d00, d01, d11 = tri[:, 13:14], tri[:, 14:15], tri[:, 15:16]
             inv_den = tri[:, 16:17]
 
-            cos = pnx * ldx + pny * ldy + pnz * ldz
-            cos_safe = jnp.where(jnp.abs(cos) > 1e-8, cos, 1e-8)
-            t = (pv - (pnx * lox + pny * loy + pnz * loz)) / cos_safe
-            ddx = lox + t * ldx - v0x
-            ddy = loy + t * ldy - v0y
-            ddz = loz + t * ldz - v0z
-            d20 = ddx * e1x + ddy * e1y + ddz * e1z
-            d21 = ddx * e2x + ddy * e2y + ddz * e2z
-            v = (d11 * d20 - d01 * d21) * inv_den
-            w = (d00 * d21 - d01 * d20) * inv_den
-            u = 1.0 - v - w
-            ok = (
-                (jnp.abs(cos) >= 1e-8)
-                & (t >= t_min)
-                & (t <= t_max)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (w >= 0.0)
-                & (row_k < count)
-            )
-            hit_lane = jnp.any(ok, axis=0, keepdims=True)  # (1,128)
-            occ = jnp.where(hit_lane, 1.0, occ)
+            occ_rows = []
+            for g in range(SUBS):
+                loxg, loyg, lozg = lox[g:g + 1], loy[g:g + 1], loz[g:g + 1]
+                ldxg, ldyg, ldzg = ldx[g:g + 1], ldy[g:g + 1], ldz[g:g + 1]
+                cos = pnx * ldxg + pny * ldyg + pnz * ldzg
+                cos_safe = jnp.where(jnp.abs(cos) > 1e-8, cos, 1e-8)
+                t = (pv - (pnx * loxg + pny * loyg + pnz * lozg)) / cos_safe
+                ddx = loxg + t * ldxg - v0x
+                ddy = loyg + t * ldyg - v0y
+                ddz = lozg + t * ldzg - v0z
+                d20 = ddx * e1x + ddy * e1y + ddz * e1z
+                d21 = ddx * e2x + ddy * e2y + ddz * e2z
+                v = (d11 * d20 - d01 * d21) * inv_den
+                w = (d00 * d21 - d01 * d20) * inv_den
+                u = 1.0 - v - w
+                ok = (
+                    (jnp.abs(cos) >= 1e-8)
+                    & (t >= t_min)
+                    & (t <= t_max[g:g + 1])
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (w >= 0.0)
+                    & (row_k < count)
+                )
+                hit_lane = jnp.any(ok, axis=0, keepdims=True)  # (1,128)
+                occ_rows.append(jnp.where(hit_lane, 1.0, occ[g:g + 1]))
+            occ = occ_rows[0] if SUBS == 1 else jnp.concatenate(occ_rows, axis=0)
             alive = jnp.any(act & (occ < 0.5))
             return occ, alive
 
@@ -517,7 +539,7 @@ def _kernel_occl(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tmin_ref,
         tptr = jnp.where(alive, tptr, Mt)
         return tptr, occ, alive
 
-    occ0 = jnp.zeros((1, LANES), jnp.float32)
+    occ0 = jnp.zeros((SUBS, LANES), jnp.float32)
     _, occ, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), occ0, jnp.any(act))
     )
@@ -527,7 +549,7 @@ def _kernel_occl(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tmin_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _traverse_occl(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f,
                    tri_pack, rays, t_min, *, interpret=False):
-    G = rays.shape[0]
+    G, _, SUBS, _ = rays.shape
     t_min_arr = jnp.reshape(t_min.astype(jnp.float32), (1,))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -541,7 +563,8 @@ def _traverse_occl(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # inst_f
             pl.BlockSpec(memory_space=pltpu.SMEM),  # t_min (1,)
             pl.BlockSpec(
-                (1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 8, SUBS, LANES), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),  # rays
             pl.BlockSpec(memory_space=pl.ANY),  # tri_pack (L,8,128), HBM
         ],
@@ -550,13 +573,13 @@ def _traverse_occl(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBS, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     (occ_out,) = pl.pallas_call(
         _kernel_occl,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((G, 1, LANES), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((G, SUBS, LANES), jnp.float32)],
         interpret=interpret,
     )(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, t_min_arr, rays,
       tri_pack)
@@ -572,6 +595,7 @@ def tlas_occluded_pallas(
     active=None,
     packed: TlasPack = None,
     interpret: bool = False,
+    subs: int | None = None,
 ) -> jnp.ndarray:
     """Any-hit shadow query against every mesh instance: True where some
     triangle lies in [t_min, t_max]. Boolean-equal to
@@ -581,23 +605,8 @@ def tlas_occluded_pallas(
     packed = jax.tree_util.tree_map(jnp.asarray, packed)
 
     N = o.shape[0]
-    G = -(-N // LANES)
-    pad = G * LANES - N
-    o32 = o.astype(jnp.float32)
-    d32 = d.astype(jnp.float32)
-    if active is None:
-        act = jnp.ones((N,), jnp.float32)
-    else:
-        act = active.astype(jnp.float32)
     tmax32 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
-    comp = jnp.stack(
-        [o32[:, 0], o32[:, 1], o32[:, 2], d32[:, 0], d32[:, 1], d32[:, 2], act,
-         tmax32],
-        axis=0,
-    )  # (8, N)
-    if pad:
-        comp = jnp.pad(comp, ((0, 0), (0, pad)))
-    rays = comp.reshape(8, G, LANES).transpose(1, 0, 2)  # (G, 8, 128)
+    rays = _pack_rays(o, d, tmax32, active, subs or DEFAULT_SUBS)
 
     occ_out = _traverse_occl(
         packed.t_meta, packed.t_bounds, packed.b_meta, packed.b_bounds,
@@ -613,7 +622,7 @@ def tlas_occluded_pallas(
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _traverse(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tri_pack,
               rays, t_min, *, interpret=False):
-    G = rays.shape[0]
+    G, _, SUBS, _ = rays.shape
     t_min_arr = jnp.reshape(t_min.astype(jnp.float32), (1,))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -627,7 +636,8 @@ def _traverse(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tri_pack,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # inst_f
             pl.BlockSpec(memory_space=pltpu.SMEM),  # t_min (1,)
             pl.BlockSpec(
-                (1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 8, SUBS, LANES), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),  # rays
             pl.BlockSpec(memory_space=pl.ANY),  # tri_pack (L,8,128), HBM
         ],
@@ -636,18 +646,18 @@ def _traverse(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, tri_pack,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBS, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBS, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBS, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
     t_out, id_out, inst_out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((G, 1, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((G, 1, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((G, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, SUBS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((G, SUBS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, SUBS, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(t_meta, t_bounds, b_meta, b_bounds, inst_i, inst_f, t_min_arr, rays, tri_pack)
@@ -662,6 +672,7 @@ def tlas_closest_hit_pallas(
     active=None,
     packed: TlasPack = None,
     interpret: bool = False,
+    subs: int | None = None,
 ) -> Hit:
     """Closest hit of N rays against every mesh instance via the two-level
     packet kernel. Drop-in replacement for `tlas.instanced_closest_hit` (same
@@ -672,22 +683,8 @@ def tlas_closest_hit_pallas(
     im = jax.tree_util.tree_map(jnp.asarray, im)
 
     N = o.shape[0]
-    G = -(-N // LANES)
-    pad = G * LANES - N
-    o32 = o.astype(jnp.float32)
-    d32 = d.astype(jnp.float32)
-    if active is None:
-        act = jnp.ones((N,), jnp.float32)
-    else:
-        act = active.astype(jnp.float32)
-    comp = jnp.stack(
-        [o32[:, 0], o32[:, 1], o32[:, 2], d32[:, 0], d32[:, 1], d32[:, 2], act,
-         jnp.zeros((N,), jnp.float32)],
-        axis=0,
-    )  # (8, N)
-    if pad:
-        comp = jnp.pad(comp, ((0, 0), (0, pad)))
-    rays = comp.reshape(8, G, LANES).transpose(1, 0, 2)  # (G, 8, 128)
+    rays = _pack_rays(o, d, jnp.zeros((N,), jnp.float32), active,
+                      subs or DEFAULT_SUBS)
 
     t_out, id_out, inst_out = _traverse(
         packed.t_meta, packed.t_bounds, packed.b_meta, packed.b_bounds,

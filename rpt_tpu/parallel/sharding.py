@@ -110,6 +110,11 @@ def make_sharded_diff_fn(scene_data, width: int, height: int, max_bounces: int, 
     all-reduced across shards by shard_map's transpose (psum over ICI)."""
     import dataclasses
 
+    cache_key = ("diff", id(scene_data), width, height, max_bounces, mesh)
+    cached = _SHARD_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+
     xg_full, yg_full, dim = pixel_ndc(width, height, scene_data.materials.color.dtype)
     n = xg_full.shape[0]
     n_dev = mesh.devices.size
@@ -137,6 +142,7 @@ def make_sharded_diff_fn(scene_data, width: int, height: int, max_bounces: int, 
         colors = body(materials, camera, key, xg_full, yg_full, jitter_scale, t_min, ev_scale)
         return colors[:n].reshape(height, width, 3)
 
+    _SHARD_CACHE[cache_key] = fn
     return fn
 
 

@@ -324,7 +324,8 @@ class SceneData:
 
     def occluded(self, o, d, t_min, t_max, active=None) -> jnp.ndarray:
         """Shadow query: True per ray iff any surface lies within
-        (t_min, t_max] along it — boolean-equal to
+        [t_min, t_max] along it (closed at t_min, same boundary as
+        intersect()) — boolean-equal to
         `intersect(...).t <= t_max` (the NEE visibility test of
         renderer.rs:191-199) but mesh traversal early-exits on the first
         hit instead of finding the closest one."""
