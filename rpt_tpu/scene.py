@@ -39,6 +39,12 @@ from .lights import (
 from .materials import Material, MaterialTable
 from .ops import intersect as ops
 from .ops.bvh import BvhData, build_bvh, bvh_closest_hit
+from .ops.bvh8_pallas import (
+    bvh8_closest_hit_pallas,
+    bvh8_eligible,
+    bvh8_occluded_pallas,
+    pack_bvh8_for_pallas,
+)
 from .ops.bvh_pallas import (
     bvh_closest_hit_pallas,
     bvh_occluded_pallas,
@@ -70,14 +76,22 @@ __all__ = ["Object", "Scene", "SceneData"]
 # brute-forced (the (N rays x T tris) broadcast is faster than traversal for
 # small T on the VPU).
 BVH_THRESHOLD = 64
+# Mesh traversal kernel on TPU: "wide" = 8-ary wide-BVH (default),
+# "binary" = round-3 skip-link packet kernel (kept for A/B).
+import os as _os
+
+_BVH_KERNEL = _os.environ.get("RPT_BVH_KERNEL", "wide")
 
 # Analytic primitive batches larger than this are intersected in fori_loop
 # chunks so the (N rays x P prims) broadcast stays memory-bounded.
 PRIM_CHUNK = 256
 
 # If baking transforms into world-space triangles would exceed this count,
-# meshes go through the two-level instanced BVH instead.
-BAKE_TRI_LIMIT = 200_000
+# meshes go through the two-level instanced BVH instead. Matches the packet
+# kernels' MAX_TRIS: the chunked SMEM/VMEM-streaming paths carry the real
+# dragon.zip scale (871k tris, dragon.rs:11-22) as one baked mesh; packed
+# triangle rows cost 512 B/tri of HBM (~1 GB at the limit).
+BAKE_TRI_LIMIT = 2_000_000
 
 
 class Object:
@@ -261,7 +275,8 @@ class SceneData:
     monomials: Optional[MonomialArrays]
     triangles: Optional[TriangleArrays]  # small meshes, brute force
     bvh: Optional[BvhData]  # large meshes, BVH traversal
-    bvh_packed: Optional[tuple]  # Pallas packet-kernel layout of `bvh`
+    bvh_packed: Optional[tuple]  # Pallas binary packet-kernel layout of `bvh`
+    bvh8_packed: Optional[tuple]  # Pallas 8-ary wide-BVH layout of `bvh`
     instanced: Optional[InstancedMeshes]  # shared/instanced meshes, TLAS+BLAS
     instanced_packed: Optional[tuple]  # Pallas two-level kernel layout
     lights: tuple  # static tuple of *LightData pytrees
@@ -291,10 +306,18 @@ class SceneData:
         self = self.to_device()
         hit = self._analytic_hit(o, d, t_min)
         if self.bvh is not None:
-            # The Pallas packet kernel runs the BVH walk on-chip with
-            # VMEM-resident triangles; falls back to the XLA while_loop off
-            # TPU or when the mesh exceeds the kernel's VMEM/SMEM budget.
-            if self.bvh_packed is not None and jax.default_backend() == "tpu":
+            # Pallas packet kernels run the BVH walk on-chip. The 8-ary
+            # wide-BVH kernel (one vector->scalar sync per OPENED node, 8
+            # decisions each) is the default; RPT_BVH_KERNEL=binary selects
+            # the round-3 skip-link kernel for A/B. Falls back to the XLA
+            # while_loop off TPU or past the kernel budgets.
+            if (self.bvh8_packed is not None and _BVH_KERNEL == "wide"
+                    and jax.default_backend() == "tpu"):
+                bvh_hit = bvh8_closest_hit_pallas(
+                    self.bvh, o, d, t_min, active=active,
+                    packed=self.bvh8_packed,
+                )
+            elif self.bvh_packed is not None and jax.default_backend() == "tpu":
                 bvh_hit = bvh_closest_hit_pallas(
                     self.bvh, o, d, t_min, active=active, packed=self.bvh_packed
                 )
@@ -332,7 +355,13 @@ class SceneData:
         self = self.to_device()
         occ = self._analytic_hit(o, d, t_min).t <= t_max
         if self.bvh is not None:
-            if self.bvh_packed is not None and jax.default_backend() == "tpu":
+            if (self.bvh8_packed is not None and _BVH_KERNEL == "wide"
+                    and jax.default_backend() == "tpu"):
+                occ_b = bvh8_occluded_pallas(
+                    self.bvh, o, d, t_min, t_max, active=active,
+                    packed=self.bvh8_packed,
+                )
+            elif self.bvh_packed is not None and jax.default_backend() == "tpu":
                 occ_b = bvh_occluded_pallas(
                     self.bvh, o, d, t_min, t_max, active=active,
                     packed=self.bvh_packed,
@@ -591,6 +620,7 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
     triangles = None
     bvh = None
     bvh_packed = None
+    bvh8_packed = None
     if tri_verts:
         verts = np.concatenate(tri_verts)
         norms = np.concatenate(tri_norms)
@@ -599,6 +629,8 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
             bvh = build_bvh(verts, norms, mats, dtype)
             if pallas_eligible(bvh):
                 bvh_packed = pack_bvh_for_pallas(bvh)
+            if bvh8_eligible(bvh):
+                bvh8_packed = pack_bvh8_for_pallas(bvh)
         else:
             triangles = TriangleArrays(
                 verts=verts.astype(np_dtype),
@@ -617,6 +649,7 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
         triangles=triangles,
         bvh=bvh,
         bvh_packed=bvh_packed,
+        bvh8_packed=bvh8_packed,
         instanced=instanced,
         instanced_packed=instanced_packed,
         lights=lights,
