@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..integrator import trace_paths
-from ..renderer import pixel_ndc
+from ..renderer import pixel_ndc_tiled
 
 __all__ = [
     "make_ray_mesh",
@@ -67,7 +67,9 @@ def make_sharded_render_fn(scene_data, width: int, height: int, max_bounces: int
     if fn is not None:
         return fn
 
-    xg_full, yg_full, dim = pixel_ndc(width, height, scene_data.materials.color.dtype)
+    xg_full, yg_full, dim, inv = pixel_ndc_tiled(
+        width, height, scene_data.materials.color.dtype
+    )
     n = xg_full.shape[0]
     n_dev = mesh.devices.size
     pad = (-n) % n_dev
@@ -86,7 +88,7 @@ def make_sharded_render_fn(scene_data, width: int, height: int, max_bounces: int
     @jax.jit
     def fn(camera, key, t_min, ev_scale):
         colors = body(camera, key, xg_full, yg_full, jitter_scale, t_min, ev_scale)
-        return colors[:n].reshape(height, width, 3)
+        return colors[inv].reshape(height, width, 3)
 
     _SHARD_CACHE[cache_key] = fn
     return fn
@@ -115,7 +117,9 @@ def make_sharded_diff_fn(scene_data, width: int, height: int, max_bounces: int, 
     if cached is not None:
         return cached
 
-    xg_full, yg_full, dim = pixel_ndc(width, height, scene_data.materials.color.dtype)
+    xg_full, yg_full, dim, inv = pixel_ndc_tiled(
+        width, height, scene_data.materials.color.dtype
+    )
     n = xg_full.shape[0]
     n_dev = mesh.devices.size
     pad = (-n) % n_dev
@@ -140,7 +144,7 @@ def make_sharded_diff_fn(scene_data, width: int, height: int, max_bounces: int, 
     @jax.jit
     def fn(materials, camera, key, t_min, ev_scale):
         colors = body(materials, camera, key, xg_full, yg_full, jitter_scale, t_min, ev_scale)
-        return colors[:n].reshape(height, width, 3)
+        return colors[inv].reshape(height, width, 3)
 
     _SHARD_CACHE[cache_key] = fn
     return fn
@@ -162,7 +166,9 @@ def make_sharded_many_fn(scene_data, width: int, height: int, max_bounces: int, 
     if fn is not None:
         return fn
 
-    xg_full, yg_full, dim = pixel_ndc(width, height, scene_data.materials.color.dtype)
+    xg_full, yg_full, dim, inv = pixel_ndc_tiled(
+        width, height, scene_data.materials.color.dtype
+    )
     n_pix = xg_full.shape[0]
     n_dev = mesh.devices.size
     pad = (-n_pix) % n_dev
@@ -198,8 +204,8 @@ def make_sharded_many_fn(scene_data, width: int, height: int, max_bounces: int, 
     def fn(camera, base_key, start, n_samples, t_min, ev_scale):
         s, ss = body(camera, base_key, start, n_samples, xg_full, yg_full, t_min, ev_scale)
         return (
-            s[:n_pix].reshape(height, width, 3),
-            ss[:n_pix].reshape(height, width),
+            s[inv].reshape(height, width, 3),
+            ss[inv].reshape(height, width),
         )
 
     _SHARD_CACHE[cache_key] = fn

@@ -45,13 +45,57 @@ def pixel_ndc(width: int, height: int, dtype=jnp.float32):
     return xg, yg, dim
 
 
+TILE_W = TILE_H = 32  # pixels per wavefront tile (32x32 = one 1024-ray packet)
+
+
+def _tile_perm_np(width: int, height: int):
+    """Forward/inverse permutations putting pixels in 32x32-tile order.
+
+    The Pallas packet kernels traverse the union of each packet's rays'
+    node sets; scanline order makes a 1024-ray packet a 1.3-row strip,
+    while a 32x32 tile is spatially compact (measured +15-20% on teapot
+    closest-hit, and bounce rays inherit the coherence of their parents).
+    Cached per resolution; ragged edges yield partial tiles.
+    """
+    key = (width, height)
+    cached = _TILE_CACHE.get(key)
+    if cached is None:
+        idx = np.arange(width * height, dtype=np.int32).reshape(height, width)
+        parts = [
+            idx[y:y + TILE_H, x:x + TILE_W].ravel()
+            for y in range(0, height, TILE_H)
+            for x in range(0, width, TILE_W)
+        ]
+        perm = np.concatenate(parts)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(perm.size, dtype=np.int32)
+        cached = _TILE_CACHE[key] = (perm, inv)
+    return cached
+
+
+_TILE_CACHE: dict = {}
+
+
+def pixel_ndc_tiled(width: int, height: int, dtype=jnp.float32):
+    """pixel_ndc in 32x32-tile order, plus the inverse permutation that
+    restores scanline order (`colors[inv].reshape(H, W, 3)`)."""
+    xg, yg, dim = pixel_ndc(width, height, dtype)
+    perm, inv = _tile_perm_np(width, height)
+    p = jnp.asarray(perm)
+    return xg[p], yg[p], dim, jnp.asarray(inv)
+
+
 def _render_pass_impl(scene_data, camera, key, width, height, max_bounces, t_min, ev_scale):
     """Trace one sample per pixel; returns a (H, W, 3) linear radiance frame.
 
     Parity: one iteration of get_color (renderer.rs:131-142) for every pixel —
     jittered NDC coords, thin-lens camera ray, path trace, exposure scale.
+    The wavefront runs in tile order (see _tile_perm_np) and is restored to
+    scanline order at the end.
     """
-    xg, yg, dim = pixel_ndc(width, height, scene_data.materials.color.dtype)
+    xg, yg, dim, inv = pixel_ndc_tiled(
+        width, height, scene_data.materials.color.dtype
+    )
     n = xg.shape[0]
     k_jit, k_cam, k_trace = jax.random.split(key, 3)
     jitter = jax.random.uniform(
@@ -60,7 +104,7 @@ def _render_pass_impl(scene_data, camera, key, width, height, max_bounces, t_min
     o, d = camera.cast_rays(xg + jitter[0], yg + jitter[1], k_cam)
     colors = trace_paths(scene_data, o, d, k_trace, max_bounces, t_min)
     colors = colors * ev_scale
-    return colors.reshape(height, width, 3)
+    return colors[inv].reshape(height, width, 3)
 
 
 # IMPORTANT TPU-compile note: the compiled scene is *closed over* (baked into
