@@ -40,6 +40,9 @@ REFERENCE_RAYS_PER_SEC_ESTIMATE = 5.0e6
 
 TPU_TIMEOUT_S = 420
 CPU_TIMEOUT_S = 600
+# Constants ship with the executable through the ~1 GB/s TPU relay; the
+# 871k-tri dragon's packed tables are ~0.7 GB, so its child needs longer.
+TPU_TIMEOUT_OVERRIDES = {"dragon871k": 1500, "wine_glass": 600, "pegasus": 600}
 
 # name -> (width, height, max_bounces, shadow_rays_per_vertex, warmup, passes)
 WORKLOADS = {
@@ -303,9 +306,10 @@ def _attempt(platform: str, workload: str, timeout_s: int):
 
 
 def _measure_workload(name: str):
+    timeout = TPU_TIMEOUT_OVERRIDES.get(name, TPU_TIMEOUT_S)
     for i in range(TPU_ATTEMPTS[name]):
         _log(f"{name}: TPU attempt {i + 1}/{TPU_ATTEMPTS[name]}")
-        parsed = _attempt("tpu", name, TPU_TIMEOUT_S)
+        parsed = _attempt("tpu", name, timeout)
         if parsed is not None:
             return parsed
         time.sleep(5 * (i + 1))

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .materials import MaterialTable
-from .renderer import _render_pass_impl
+from .renderer import _render_pass_tiled, _tile_perm_np
 
 __all__ = ["make_material_render_fn", "render_with_materials", "render_with_camera", "make_diff_render"]
 
@@ -54,14 +54,15 @@ def make_material_render_fn(scene_data, width: int, height: int, max_bounces: in
             @jax.checkpoint
             def body(acc, i):
                 k = jax.random.fold_in(key, i)
-                frame = _render_pass_impl(
+                frame = _render_pass_tiled(
                     sd, camera, k, width, height, max_bounces, t_min, ev_scale
                 )
                 return acc + frame, None
 
-            acc0 = jnp.zeros((height, width, 3), materials.color.dtype)
+            acc0 = jnp.zeros((width * height, 3), materials.color.dtype)
             acc, _ = jax.lax.scan(body, acc0, jnp.arange(spp))
-            return acc / spp
+            _, inv = _tile_perm_np(width, height)
+            return acc[jnp.asarray(inv)].reshape(height, width, 3) / spp
 
         _DIFF_CACHE[cache_key] = fn
     return fn

@@ -78,22 +78,34 @@ _TILE_CACHE: dict = {}
 
 def pixel_ndc_tiled(width: int, height: int, dtype=jnp.float32):
     """pixel_ndc in 32x32-tile order, plus the inverse permutation that
-    restores scanline order (`colors[inv].reshape(H, W, 3)`)."""
-    xg, yg, dim = pixel_ndc(width, height, dtype)
+    restores scanline order (`colors[inv].reshape(H, W, 3)`).
+
+    Computed HOST-side (numpy) so the permuted grids enter traced code as
+    constants: an in-trace `xg[perm]` gather is NOT hoisted out of the
+    per-sample fori_loop by XLA and measured as ~40% of a cornell pass."""
+    np_dtype = np.dtype(dtype)
+    dim = float(max(width, height))
+    x = np.arange(width, dtype=np_dtype)
+    y = np.arange(height, dtype=np_dtype)
+    xn = (2.0 * x + 1.0 - width) / dim
+    yn = (2.0 * (height - y) - 1.0 - height) / dim
+    xg = np.broadcast_to(xn[None, :], (height, width)).reshape(-1)
+    yg = np.broadcast_to(yn[:, None], (height, width)).reshape(-1)
     perm, inv = _tile_perm_np(width, height)
-    p = jnp.asarray(perm)
-    return xg[p], yg[p], dim, jnp.asarray(inv)
+    return (
+        jnp.asarray(xg[perm]), jnp.asarray(yg[perm]), dim, jnp.asarray(inv)
+    )
 
 
-def _render_pass_impl(scene_data, camera, key, width, height, max_bounces, t_min, ev_scale):
-    """Trace one sample per pixel; returns a (H, W, 3) linear radiance frame.
+def _render_pass_tiled(scene_data, camera, key, width, height, max_bounces, t_min, ev_scale):
+    """Trace one sample per pixel; returns (H*W, 3) radiance in TILE order.
 
     Parity: one iteration of get_color (renderer.rs:131-142) for every pixel —
     jittered NDC coords, thin-lens camera ray, path trace, exposure scale.
-    The wavefront runs in tile order (see _tile_perm_np) and is restored to
-    scanline order at the end.
-    """
-    xg, yg, dim, inv = pixel_ndc_tiled(
+    Multi-pass accumulators sum in tile order and un-permute ONCE per
+    dispatch (the inverse gather costs ~40% of a whole cornell pass, so it
+    must not run per sample)."""
+    xg, yg, dim, _ = pixel_ndc_tiled(
         width, height, scene_data.materials.color.dtype
     )
     n = xg.shape[0]
@@ -103,8 +115,16 @@ def _render_pass_impl(scene_data, camera, key, width, height, max_bounces, t_min
     )
     o, d = camera.cast_rays(xg + jitter[0], yg + jitter[1], k_cam)
     colors = trace_paths(scene_data, o, d, k_trace, max_bounces, t_min)
-    colors = colors * ev_scale
-    return colors[inv].reshape(height, width, 3)
+    return colors * ev_scale
+
+
+def _render_pass_impl(scene_data, camera, key, width, height, max_bounces, t_min, ev_scale):
+    """One-sample frame in scanline order: tiled pass + inverse gather."""
+    colors = _render_pass_tiled(
+        scene_data, camera, key, width, height, max_bounces, t_min, ev_scale
+    )
+    _, inv = _tile_perm_np(width, height)
+    return colors[jnp.asarray(inv)].reshape(height, width, 3)
 
 
 # IMPORTANT TPU-compile note: the compiled scene is *closed over* (baked into
@@ -168,20 +188,22 @@ def make_render_many_fn(scene_data, width: int, height: int, max_bounces: int):
         def _fn(big_args, camera, base_key, start, n, t_min, ev_scale):
             sd = rebuild(big_args)
 
+            # Accumulate in TILE order; un-permute once per dispatch.
             def body(i, acc):
                 s, ss = acc
                 key = jax.random.fold_in(base_key, start + i)
-                frame = _render_pass_impl(
+                frame = _render_pass_tiled(
                     sd, camera, key, width, height, max_bounces,
                     t_min, ev_scale,
                 )
                 return (s + frame, ss + jnp.sum(frame * frame, axis=-1))
 
-            init = (
-                jnp.zeros((height, width, 3), dtype),
-                jnp.zeros((height, width), dtype),
-            )
-            return jax.lax.fori_loop(0, n, body, init)
+            npix = width * height
+            init = (jnp.zeros((npix, 3), dtype), jnp.zeros((npix,), dtype))
+            s, ss = jax.lax.fori_loop(0, n, body, init)
+            _, inv = _tile_perm_np(width, height)
+            inv = jnp.asarray(inv)
+            return s[inv].reshape(height, width, 3), ss[inv].reshape(height, width)
 
         def fn(camera, base_key, start, n, t_min, ev_scale):
             return _fn(big, camera, base_key, start, n, t_min, ev_scale)
@@ -206,16 +228,17 @@ def _render_many_dynamic(
     def body(i, acc):
         s, ss = acc
         key = jax.random.fold_in(base_key, start + i)
-        frame = _render_pass_impl(
+        frame = _render_pass_tiled(
             scene_data, camera, key, width, height, max_bounces, t_min, ev_scale
         )
         return (s + frame, ss + jnp.sum(frame * frame, axis=-1))
 
-    init = (
-        jnp.zeros((height, width, 3), dtype),
-        jnp.zeros((height, width), dtype),
-    )
-    return jax.lax.fori_loop(0, n, body, init)
+    npix = width * height
+    init = (jnp.zeros((npix, 3), dtype), jnp.zeros((npix,), dtype))
+    s, ss = jax.lax.fori_loop(0, n, body, init)
+    _, inv = _tile_perm_np(width, height)
+    inv = jnp.asarray(inv)
+    return s[inv].reshape(height, width, 3), ss[inv].reshape(height, width)
 
 
 def make_render_fn(scene_data, width: int, height: int, max_bounces: int):

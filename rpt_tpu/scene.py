@@ -52,6 +52,12 @@ from .ops.bvh_pallas import (
     pallas_eligible,
 )
 from .ops.tlas import InstancedMeshes, build_instanced, instanced_closest_hit
+from .ops.tlas8_pallas import (
+    pack_tlas8_for_pallas,
+    tlas8_closest_hit_pallas,
+    tlas8_eligible,
+    tlas8_occluded_pallas,
+)
 from .ops.tlas_pallas import (
     pack_tlas_for_pallas,
     tlas_closest_hit_pallas,
@@ -76,11 +82,15 @@ __all__ = ["Object", "Scene", "SceneData"]
 # brute-forced (the (N rays x T tris) broadcast is faster than traversal for
 # small T on the VPU).
 BVH_THRESHOLD = 64
-# Mesh traversal kernel on TPU: "wide" = 8-ary wide-BVH (default),
-# "binary" = round-3 skip-link packet kernel (kept for A/B).
+# Mesh traversal kernel on TPU: "wide" (default) = 8-ary wide-BVH where the
+# mesh is big enough to amortize its per-node child dispatch (A/B on v5e:
+# 131k-tri dragon 2.26 -> 5.81 Mrays/s wide, but 2.5k-tri teapot 41.9 ->
+# 36.8, so small meshes keep the binary skip-link kernel);
+# "binary" forces the round-3 kernel everywhere.
 import os as _os
 
 _BVH_KERNEL = _os.environ.get("RPT_BVH_KERNEL", "wide")
+WIDE_KERNEL_MIN_TRIS = 16_384
 
 # Analytic primitive batches larger than this are intersected in fori_loop
 # chunks so the (N rays x P prims) broadcast stays memory-bounded.
@@ -278,7 +288,8 @@ class SceneData:
     bvh_packed: Optional[tuple]  # Pallas binary packet-kernel layout of `bvh`
     bvh8_packed: Optional[tuple]  # Pallas 8-ary wide-BVH layout of `bvh`
     instanced: Optional[InstancedMeshes]  # shared/instanced meshes, TLAS+BLAS
-    instanced_packed: Optional[tuple]  # Pallas two-level kernel layout
+    instanced_packed: Optional[tuple]  # Pallas binary two-level layout
+    instanced8_packed: Optional[tuple]  # Pallas wide two-level layout
     lights: tuple  # static tuple of *LightData pytrees
     environment: Environment
 
@@ -327,7 +338,13 @@ class SceneData:
         if self.instanced is not None:
             # Two-level packet kernel on TPU (zero per-ray gathers); XLA
             # while_loop fallback off TPU or past the SMEM budget.
-            if self.instanced_packed is not None and jax.default_backend() == "tpu":
+            if (self.instanced8_packed is not None and _BVH_KERNEL == "wide"
+                    and jax.default_backend() == "tpu"):
+                inst_hit = tlas8_closest_hit_pallas(
+                    self.instanced, o, d, t_min, active=active,
+                    packed=self.instanced8_packed,
+                )
+            elif self.instanced_packed is not None and jax.default_backend() == "tpu":
                 inst_hit = tlas_closest_hit_pallas(
                     self.instanced, o, d, t_min, active=active,
                     packed=self.instanced_packed,
@@ -373,7 +390,13 @@ class SceneData:
                 )
             occ = occ | occ_b
         if self.instanced is not None:
-            if self.instanced_packed is not None and jax.default_backend() == "tpu":
+            if (self.instanced8_packed is not None and _BVH_KERNEL == "wide"
+                    and jax.default_backend() == "tpu"):
+                occ_i = tlas8_occluded_pallas(
+                    self.instanced, o, d, t_min, t_max, active=active,
+                    packed=self.instanced8_packed,
+                )
+            elif self.instanced_packed is not None and jax.default_backend() == "tpu":
                 occ_i = tlas_occluded_pallas(
                     self.instanced, o, d, t_min, t_max, active=active,
                     packed=self.instanced_packed,
@@ -564,6 +587,7 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
     # shared geometry or very large bakes go through the instanced TLAS+BLAS.
     instanced = None
     instanced_packed = None
+    instanced8_packed = None
     if mesh_uses:
         unique_ids = {id(m) for m, _, _ in mesh_uses}
         shared = len(unique_ids) < len(mesh_uses)
@@ -579,6 +603,8 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
             instanced = build_instanced(uniq, instances, dtype)
             if tlas_pallas_eligible(instanced):
                 instanced_packed = pack_tlas_for_pallas(instanced)
+            if tlas8_eligible(instanced):
+                instanced8_packed = pack_tlas8_for_pallas(instanced)
         else:
             for m, matrix, mid in mesh_uses:
                 verts, norms = _bake_mesh(m, matrix)
@@ -627,10 +653,18 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
         mats = np.concatenate(tri_mats)
         if verts.shape[0] >= BVH_THRESHOLD:
             bvh = build_bvh(verts, norms, mats, dtype)
-            if pallas_eligible(bvh):
-                bvh_packed = pack_bvh_for_pallas(bvh)
-            if bvh8_eligible(bvh):
+            want_wide = (
+                bvh8_eligible(bvh)
+                and bvh.num_tris >= WIDE_KERNEL_MIN_TRIS
+                and _BVH_KERNEL == "wide"
+            )
+            if want_wide:
+                # Skip the binary pack: its (L,8,128) triangle table is
+                # identical and packed rows cost 512 B/tri of HBM — shipping
+                # both packs doubles the constant upload for megameshes.
                 bvh8_packed = pack_bvh8_for_pallas(bvh)
+            elif pallas_eligible(bvh):
+                bvh_packed = pack_bvh_for_pallas(bvh)
         else:
             triangles = TriangleArrays(
                 verts=verts.astype(np_dtype),
@@ -652,6 +686,7 @@ def compile_scene(scene: Scene, dtype=jnp.float32) -> SceneData:
         bvh8_packed=bvh8_packed,
         instanced=instanced,
         instanced_packed=instanced_packed,
+        instanced8_packed=instanced8_packed,
         lights=lights,
         environment=scene.environment,
     )
