@@ -143,66 +143,93 @@ def _check_pallas_parity(scene_data, camera, t_min):
     import numpy as np
 
     from rpt_tpu.ops.bvh import bvh_closest_hit
+    from rpt_tpu.ops.bvh8_pallas import bvh8_closest_hit_pallas
     from rpt_tpu.ops.bvh_pallas import bvh_closest_hit_pallas
     from rpt_tpu.renderer import pixel_ndc
 
-    if scene_data.bvh is None or scene_data.bvh_packed is None:
-        _log("[child] no Pallas-eligible BVH; skipping parity check")
+    if scene_data.bvh is None:
+        _log("[child] no BVH; skipping parity check")
         return
     xg, yg, _ = pixel_ndc(160, 100)
     o, d = camera.cast_rays(xg, yg, jax.random.PRNGKey(0))
 
-    @jax.jit
-    def both(o, d):
-        hp = bvh_closest_hit_pallas(
+    # Check whichever Mosaic kernel the render will actually use.
+    if scene_data.bvh8_packed is not None:
+        kernel = lambda o, d: bvh8_closest_hit_pallas(
+            scene_data.bvh, o, d, t_min, packed=scene_data.bvh8_packed
+        )
+        name = "wide BVH"
+    elif scene_data.bvh_packed is not None:
+        kernel = lambda o, d: bvh_closest_hit_pallas(
             scene_data.bvh, o, d, t_min, packed=scene_data.bvh_packed
         )
+        name = "binary BVH"
+    else:
+        _log("[child] no Pallas-eligible BVH; skipping parity check")
+        return
+
+    @jax.jit
+    def both(o, d):
         hx = bvh_closest_hit(scene_data.bvh, o, d, t_min)
-        return hp.t, hx.t
+        return kernel(o, d).t, hx.t
 
     tp, tx = jax.device_get(both(o, d))
     finite = np.isfinite(tx)
     assert (np.isfinite(tp) == finite).mean() > 0.999, "hit/miss mismatch"
     diff = np.abs(tp[finite] - tx[finite])
     assert diff.size == 0 or np.percentile(diff, 99.9) < 1e-3, (
-        f"Pallas vs XLA t mismatch: p99.9={np.percentile(diff, 99.9)}"
+        f"{name} Pallas vs XLA t mismatch: p99.9={np.percentile(diff, 99.9)}"
     )
-    _log(f"[child] Pallas parity OK over {int(finite.sum())} hits")
+    _log(f"[child] {name} Pallas parity OK over {int(finite.sum())} hits")
 
 
 def _check_tlas_parity(scene_data, camera, t_min):
-    """On TPU, assert the two-level Pallas packet kernel and the XLA TLAS
-    while_loop agree on a camera wavefront (Mosaic-compiled correctness check
-    for the instanced path)."""
+    """On TPU, assert the two-level Pallas kernel that will actually render
+    (wide tlas8 if packed, else binary) agrees with the XLA TLAS while_loop
+    on a camera wavefront (Mosaic-compiled correctness check)."""
     import jax
     import numpy as np
 
     from rpt_tpu.ops.tlas import instanced_closest_hit
+    from rpt_tpu.ops.tlas8_pallas import tlas8_closest_hit_pallas
     from rpt_tpu.ops.tlas_pallas import tlas_closest_hit_pallas
     from rpt_tpu.renderer import pixel_ndc
 
-    if scene_data.instanced is None or scene_data.instanced_packed is None:
-        _log("[child] no Pallas-eligible TLAS; skipping parity check")
+    if scene_data.instanced is None:
+        _log("[child] no TLAS; skipping parity check")
         return
     xg, yg, _ = pixel_ndc(160, 100)
     o, d = camera.cast_rays(xg, yg, jax.random.PRNGKey(0))
 
+    if scene_data.instanced8_packed is not None:
+        kernel = lambda o, d: tlas8_closest_hit_pallas(
+            scene_data.instanced, o, d, t_min,
+            packed=scene_data.instanced8_packed,
+        )
+        name = "wide TLAS"
+    elif scene_data.instanced_packed is not None:
+        kernel = lambda o, d: tlas_closest_hit_pallas(
+            scene_data.instanced, o, d, t_min,
+            packed=scene_data.instanced_packed,
+        )
+        name = "binary TLAS"
+    else:
+        _log("[child] no Pallas-eligible TLAS; skipping parity check")
+        return
+
     @jax.jit
     def both(o, d):
-        hp = tlas_closest_hit_pallas(
-            scene_data.instanced, o, d, t_min, packed=scene_data.instanced_packed
-        )
         hx = instanced_closest_hit(scene_data.instanced, o, d, t_min)
-        return hp.t, hx.t
+        return kernel(o, d).t, hx.t
 
     tp, tx = jax.device_get(both(o, d))
     finite = np.isfinite(tx)
     assert (np.isfinite(tp) == finite).mean() > 0.999, "hit/miss mismatch"
     diff = np.abs(tp[finite] - tx[finite])
     assert diff.size == 0 or np.percentile(diff, 99.9) < 1e-3, (
-        f"TLAS Pallas vs XLA t mismatch: p99.9={np.percentile(diff, 99.9)}"
+        f"{name} vs XLA t mismatch: p99.9={np.percentile(diff, 99.9)}"
     )
-    _log(f"[child] TLAS Pallas parity OK over {int(finite.sum())} hits")
+    _log(f"[child] {name} Pallas parity OK over {int(finite.sum())} hits")
 
 
 def measure(platform: str, workload: str) -> None:
@@ -229,7 +256,7 @@ def measure(platform: str, workload: str) -> None:
     )
     scene_data, t_min, ev_scale = renderer._pass_args()
 
-    if platform == "tpu" and workload == "teapot":
+    if platform == "tpu" and workload in ("teapot", "dragon"):
         _check_pallas_parity(scene_data, camera, t_min)
     if platform == "tpu" and workload == "fractal_teapots":
         _check_tlas_parity(scene_data, camera, t_min)
