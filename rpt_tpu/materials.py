@@ -141,9 +141,17 @@ class MaterialTable:
             ),
         )
 
+    # Above this many materials, the one-hot matmul's N x M x 8 flops exceed
+    # the cost of a plain row gather (MTL-heavy scenes like lego can carry
+    # dozens of `usemtl` groups, io.rs:83-149); below it, the matmul rides
+    # the MXU and avoids the ~10 ms-per-500k-ray HBM gather penalty.
+    ONE_HOT_MAX_MATERIALS = 32
+
     def gather(self, ids: jnp.ndarray) -> MatParams:
-        # One-hot matmul instead of an HBM gather: per-ray gathers cost ~10 ms
-        # at 500k rays on TPU, while a (N, M) x (M, 8) matmul rides the MXU.
+        # One-hot matmul instead of an HBM gather for small tables: per-ray
+        # gathers cost ~10 ms at 500k rays on TPU, while a (N, M) x (M, 8)
+        # matmul rides the MXU. Large tables (M > ONE_HOT_MAX_MATERIALS)
+        # fall back to the row gather, whose fixed cost beats N*M*8 flops.
         # jnp.asarray lifts host numpy tables into traced constants.
         color = jnp.asarray(self.color)
         scalars = jnp.stack(
@@ -156,9 +164,13 @@ class MaterialTable:
             ],
             axis=1,
         )  # (M, 5)
-        onehot = jax.nn.one_hot(ids, color.shape[0], dtype=color.dtype)  # (..., M)
-        c = onehot @ color  # (..., 3)
-        s = onehot @ scalars  # (..., 5)
+        if color.shape[0] > self.ONE_HOT_MAX_MATERIALS:
+            c = color[ids]
+            s = scalars[ids]
+        else:
+            onehot = jax.nn.one_hot(ids, color.shape[0], dtype=color.dtype)
+            c = onehot @ color  # (..., 3)
+            s = onehot @ scalars  # (..., 5)
         return MatParams(
             color=c,
             index=s[..., 0],

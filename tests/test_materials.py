@@ -170,3 +170,34 @@ class TestSampling:
         # Mean reflected energy ≈ (1-F)·albedo ≲ albedo
         assert np.all(mean_w < 0.65), mean_w
         assert np.all(mean_w > 0.3), mean_w
+
+
+def test_gather_large_table_matches_one_hot():
+    """M > ONE_HOT_MAX_MATERIALS switches to the row-gather path; both paths
+    must agree exactly (r3 advisor note: MTL-heavy scenes, io.rs:83-149)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rpt_tpu.materials import Material, MaterialTable
+
+    rng = np.random.default_rng(0)
+    mats = [
+        Material.specular(tuple(rng.uniform(0, 1, 3)), float(rng.uniform(0.05, 1)))
+        for _ in range(40)  # > ONE_HOT_MAX_MATERIALS
+    ]
+    table = MaterialTable.pack(mats, jnp.float32)
+    assert table.color.shape[0] > table.ONE_HOT_MAX_MATERIALS
+    ids = jnp.asarray(rng.integers(0, 40, 257), jnp.int32)
+    got = table.gather(ids)
+
+    small = MaterialTable.pack(mats[:8], jnp.float32)
+    ids8 = ids % 8
+    ref = small.gather(ids8)  # one-hot path
+    # Same material produces the same params through either path.
+    np.testing.assert_allclose(
+        np.asarray(got.color)[np.asarray(ids) < 8],
+        np.asarray(table.color)[np.asarray(ids)][np.asarray(ids) < 8],
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.roughness), np.asarray(small.roughness)[np.asarray(ids8)]
+    )
