@@ -155,25 +155,29 @@ def _check_pallas_parity(scene_data, camera, t_min):
 
     # Check whichever Mosaic kernel the render will actually use.
     if scene_data.bvh8_packed is not None:
-        kernel = lambda o, d: bvh8_closest_hit_pallas(
-            scene_data.bvh, o, d, t_min, packed=scene_data.bvh8_packed
-        )
         name = "wide BVH"
     elif scene_data.bvh_packed is not None:
-        kernel = lambda o, d: bvh_closest_hit_pallas(
-            scene_data.bvh, o, d, t_min, packed=scene_data.bvh_packed
-        )
         name = "binary BVH"
     else:
         _log("[child] no Pallas-eligible BVH; skipping parity check")
         return
 
-    @jax.jit
-    def both(o, d):
-        hx = bvh_closest_hit(scene_data.bvh, o, d, t_min)
-        return kernel(o, d).t, hx.t
+    # Two separate jits with the big scene tables as ARGUMENTS, not closed
+    # constants: one program embedding both traversals' tables (or even one
+    # traversal's, at 871k tris) exceeds the relay's remote-compile request
+    # size limit (HTTP 413). Same trick as the renderer's _split_big_leaves.
+    from rpt_tpu.renderer import _split_big_leaves
 
-    tp, tx = jax.device_get(both(o, d))
+    rebuild, big = _split_big_leaves(scene_data)
+    if name == "wide BVH":
+        f8 = jax.jit(lambda b, o, d: bvh8_closest_hit_pallas(
+            rebuild(b).bvh, o, d, t_min, packed=rebuild(b).bvh8_packed).t)
+    else:
+        f8 = jax.jit(lambda b, o, d: bvh_closest_hit_pallas(
+            rebuild(b).bvh, o, d, t_min, packed=rebuild(b).bvh_packed).t)
+    fx = jax.jit(lambda b, o, d: bvh_closest_hit(rebuild(b).bvh, o, d, t_min).t)
+    tp = jax.device_get(f8(big, o, d))
+    tx = jax.device_get(fx(big, o, d))
     finite = np.isfinite(tx)
     assert (np.isfinite(tp) == finite).mean() > 0.999, "hit/miss mismatch"
     diff = np.abs(tp[finite] - tx[finite])
@@ -256,7 +260,7 @@ def measure(platform: str, workload: str) -> None:
     )
     scene_data, t_min, ev_scale = renderer._pass_args()
 
-    if platform == "tpu" and workload in ("teapot", "dragon"):
+    if platform == "tpu" and workload in ("teapot", "dragon", "dragon871k"):
         _check_pallas_parity(scene_data, camera, t_min)
     if platform == "tpu" and workload == "fractal_teapots":
         _check_tlas_parity(scene_data, camera, t_min)
