@@ -115,16 +115,133 @@ def _intersect_octsorted(scene, o, d, t_min, active):
     return jax.tree_util.tree_map(lambda x: x[pos], hit)
 
 
-def _auto_compact(scene, max_bounces: int) -> bool:
-    """MEASURED OFF. Compaction could only pay where traversal is per-packet
-    (the Pallas kernels) with live lanes scattered across packets — but
-    wavefront death is spatially COHERENT (adjacent pixels' paths die
-    together), so all-dead packets already early-exit under plain masking and
-    the partition's per-depth prefix-sum + 6 wavefront gathers are pure
-    overhead. A/B on TPU v5e (tools/compaction_ab.py, 6 bounces):
-      dragon 960x540 (cont_frac 0.20→0.009):      compacted/masked = 0.97x
-      teapot-glass 800x800 (cont_frac 0.09→0.003): compacted/masked = 0.69x
-    The flag stays available (and parity-tested) for experimentation."""
+def _part1by2(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of x so consecutive bits land 3 apart
+    (standard Morton interleave)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _morton_perm(o: jnp.ndarray, d: jnp.ndarray, active: jnp.ndarray,
+                 lo: jnp.ndarray, hi: jnp.ndarray):
+    """Wavefront sort by (direction octant, 7-bit Morton cell of origin).
+
+    Scattered bounce rays destroy packet coherence twice over: directions
+    diverge AND origins spread across the surface, so a 1024-ray packet's
+    node-set union approaches the sum over rays. Octant bits alone (the
+    round-3 sort) fix directions; adding a Morton code of the ray origin
+    quantized to the scene box groups each packet onto one surface cell,
+    shrinking both the live-chunk list and each walked chunk's opened set.
+    24-bit key = octant(3) | morton21(7 bits/axis); dead lanes sort last.
+    O(N log N) argsort (~2 ms at 518k rays) vs ~100 ms incoherent megamesh
+    traversals (r5 TPU measurement). Returns (perm, pos), pos = perm^-1."""
+    n = d.shape[0]
+    octant = (
+        (d[:, 0] < 0).astype(jnp.int32)
+        + 2 * (d[:, 1] < 0).astype(jnp.int32)
+        + 4 * (d[:, 2] < 0).astype(jnp.int32)
+    )
+    span = jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip(((o - lo) / span) * 127.0, 0.0, 127.0).astype(jnp.int32)
+    morton = (
+        (_part1by2(q[:, 0]) << 2)
+        | (_part1by2(q[:, 1]) << 1)
+        | _part1by2(q[:, 2])
+    )
+    key = (octant << 21) | morton
+    key = jnp.where(active, key, jnp.int32(1) << 26)
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+    # Inverse by a second argsort: a TPU scatter at this row count costs
+    # ~24 ms where an argsort costs ~3 ms (r5 measurement).
+    pos = jnp.argsort(perm).astype(jnp.int32)
+    return perm, pos
+
+
+def _gather_packed(perm, arrays):
+    """Take rows `perm` of several (N,) / (N, k) arrays with ONE gather.
+
+    TPU row-gathers are row-count-bound (~5.5 ms at 518k rows whether the
+    row is 4 or 64 bytes, r5 measurement), so packing the columns into one
+    matrix and gathering once replaces k gathers with one. Integer/bool
+    columns ride as bitcast f32 lanes."""
+    cols, specs = [], []
+    for a in arrays:
+        x = a
+        if x.dtype == jnp.bool_:
+            x = x.astype(jnp.int32)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            x = jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+        elif x.dtype != jnp.float32:
+            x = x.astype(jnp.float32)
+        if x.ndim == 1:
+            x = x[:, None]
+        specs.append((a.dtype, a.ndim))
+        cols.append(x)
+    packed = jnp.concatenate(cols, axis=1)[perm]
+    out, off = [], 0
+    for (dt, nd), c in zip(specs, cols):
+        w = c.shape[1]
+        sl = packed[:, off:off + w]
+        off += w
+        if dt == jnp.bool_:
+            sl = jax.lax.bitcast_convert_type(sl, jnp.int32) != 0
+        elif jnp.issubdtype(dt, jnp.integer):
+            sl = jax.lax.bitcast_convert_type(sl, jnp.int32).astype(dt)
+        else:
+            sl = sl.astype(dt)
+        out.append(sl[:, 0] if nd == 1 else sl)
+    return out
+
+
+def _scene_box(scene):
+    """Root bounds of the scene's mesh BVH (the interesting geometry for
+    packet coherence); falls back to the TLAS root or a unit box."""
+    if scene.bvh is not None:
+        return scene.bvh.node_min[0], scene.bvh.node_max[0]
+    if scene.instanced is not None:
+        return scene.instanced.t_min[0], scene.instanced.t_max[0]
+    z = jnp.zeros((3,), jnp.float32)
+    return z, z + 1.0
+
+
+def _intersect_mortonsorted(scene, o, d, t_min, active):
+    """scene.intersect with the wavefront sorted by (octant, origin cell).
+    Bit-identical to the masked path — a permutation cannot change any
+    lane's closest hit."""
+    from .ops.intersect import Hit
+
+    lo, hi = _scene_box(scene)
+    perm, pos = _morton_perm(o, d, active, lo, hi)
+    o_p, d_p, act_p = _gather_packed(perm, (o, d, active))
+    hit = scene.intersect(o_p, d_p, t_min, active=act_p)
+    t_u, n_u, m_u = _gather_packed(pos, (hit.t, hit.normal, hit.mat_id))
+    return Hit(t=t_u, normal=n_u, mat_id=m_u)
+
+
+def _auto_compact(scene, max_bounces: int):
+    """Plain masking for small scenes; octant sorting for megamesh scenes.
+
+    Compaction/octant modes were MEASURED OFF at dragon-120k scale (r3/r4:
+    the partition's prefix-sum + 6 wavefront gathers outweighed the packet
+    node-union reduction; tools/compaction_ab.py). At 871k-tri scale the
+    trade flips: a scattered bounce wavefront costs ~100 ms per traversal
+    (vs ~31 ms coherent, r5 TPU measurement) because each divergent packet
+    drags in up to 44 chunks and their node unions, while the octant
+    permutation costs ~2 ms. Heuristic: octant-sort once the mesh BVH is
+    big enough to be chunked (>1 chunk). Env override RPT_COMPACT=
+    0|1|octant for A/B."""
+    import os
+
+    mode = os.environ.get("RPT_COMPACT")
+    if mode is not None and mode != "":
+        return mode if mode in ("octant", "morton") else bool(int(mode))
+    packed = getattr(scene, "bvh8_packed", None)
+    if packed is not None and getattr(packed, "n_chunks", 1) > 1:
+        return "morton"
     return False
 
 # renderer.rs:15
@@ -154,7 +271,15 @@ def sample_lights(scene, mat, pos, n, wo, key, t_min, found, compact=False) -> j
         intensity, wi, dist = light.illuminate(k_i, pos)
         # Shadow rays only matter for lanes that hit a surface; dead lanes
         # park immediately inside the BVH/TLAS traversal.
-        if compact == "octant":
+        if compact == "morton":
+            lo, hi = _scene_box(scene)
+            perm, pos_inv = _morton_perm(pos, wi, found, lo, hi)
+            o_p, wi_p, dist_p, act_p = _gather_packed(
+                perm, (pos, wi, dist, found))
+            occ = scene.occluded(o_p, wi_p, t_min, dist_p, active=act_p)
+            (vis_u,) = _gather_packed(pos_inv, (~occ,))
+            visible = vis_u
+        elif compact == "octant":
             perm, pos_inv = _octant_perm(wi, found)
             occ = scene.occluded(
                 pos[perm], wi[perm], t_min, dist[perm], active=found[perm]
@@ -219,6 +344,8 @@ def trace_paths(
 
         if depth == 0:
             hit = scene.intersect(o, d, t_min)
+        elif compact == "morton":
+            hit = _intersect_mortonsorted(scene, o, d, t_min, active)
         elif compact == "octant":
             hit = _intersect_octsorted(scene, o, d, t_min, active)
         elif compact:
@@ -242,9 +369,13 @@ def trace_paths(
             found_frac.append(jnp.mean(found.astype(jnp.float32)))
 
         emitted = mat.emittance[:, None] * mat.color
+        # Depth-0 shadow rays inherit the camera tiles' spatial coherence
+        # (origins are primary hit points in tile order), so the morton
+        # sort would be pure overhead there (~17 ms/light at 518k rays).
+        shadow_compact = False if (depth == 0 and compact == "morton") else compact
         direct = sample_lights(
             scene, mat, pos, hit.normal, wo, k_lights, t_min, found,
-            compact=compact,
+            compact=shadow_compact,
         )
         local = jnp.where(found[:, None], emitted + direct, env)
         locals_per_depth.append(local)

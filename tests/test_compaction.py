@@ -135,3 +135,59 @@ def test_octsorted_trace_bit_identical():
     plain = trace_paths(sd, o, d, key, 3, 1e-3, compact=False)
     sorted_ = trace_paths(sd, o, d, key, 3, 1e-3, compact="octant")
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(sorted_))
+
+
+def test_morton_perm_groups_and_inverts():
+    from rpt_tpu.integrator import _morton_perm
+
+    rng = np.random.default_rng(5)
+    o = jnp.asarray(rng.uniform(-2, 2, size=(777, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(777, 3)), jnp.float32)
+    active = jnp.asarray(rng.random(777) < 0.6)
+    lo = jnp.asarray([-2.0, -2.0, -2.0])
+    hi = jnp.asarray([2.0, 2.0, 2.0])
+    perm, pos = _morton_perm(o, d, active, lo, hi)
+    perm_n, pos_n = np.asarray(perm), np.asarray(pos)
+    # pos is the exact inverse of perm; perm is a permutation
+    np.testing.assert_array_equal(perm_n[pos_n], np.arange(777))
+    np.testing.assert_array_equal(np.sort(perm_n), np.arange(777))
+    # dead lanes all sort after every live lane
+    an = np.asarray(active)
+    n_alive = an.sum()
+    assert an[perm_n][:n_alive].all() and not an[perm_n][n_alive:].any()
+    # primary key is the direction octant (live lanes)
+    dn = np.asarray(d)
+    key = (dn[:, 0] < 0) + 2 * (dn[:, 1] < 0) + 4 * (dn[:, 2] < 0)
+    sk = key[perm_n][:n_alive]
+    assert (np.diff(sk) >= 0).all()
+
+
+def test_gather_packed_round_trip():
+    from rpt_tpu.integrator import _gather_packed
+
+    rng = np.random.default_rng(6)
+    n = 333
+    perm = jnp.asarray(rng.permutation(n), jnp.int32)
+    f1 = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    f3 = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    ints = jnp.asarray(rng.integers(-5, 900, size=(n,)), jnp.int32)
+    bools = jnp.asarray(rng.random(n) < 0.5)
+    inf = f1.at[7].set(jnp.inf)  # hit.t carries +inf misses through packing
+    g_inf, g3, gi, gb = _gather_packed(perm, (inf, f3, ints, bools))
+    p = np.asarray(perm)
+    np.testing.assert_array_equal(np.asarray(g_inf), np.asarray(inf)[p])
+    np.testing.assert_array_equal(np.asarray(g3), np.asarray(f3)[p])
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(ints)[p])
+    np.testing.assert_array_equal(np.asarray(gb), np.asarray(bools)[p])
+
+
+def test_mortonsorted_trace_bit_identical():
+    scene, cam = _mesh_scene()
+    sd = scene.compile()
+    xg, yg, dim = pixel_ndc(48, 32)
+    key = jax.random.PRNGKey(7)
+    o, d = cam.cast_rays(xg, yg, key)
+
+    plain = trace_paths(sd, o, d, key, 3, 1e-3, compact=False)
+    sorted_ = trace_paths(sd, o, d, key, 3, 1e-3, compact="morton")
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(sorted_))
