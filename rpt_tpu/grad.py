@@ -26,17 +26,18 @@ import jax
 import jax.numpy as jnp
 
 from .materials import MaterialTable
-from .renderer import _render_pass_tiled, _tile_perm_np
+from .renderer import SceneCache, _render_pass_tiled, _tile_perm_np, scene_cache_key
 
 __all__ = ["make_material_render_fn", "render_with_materials", "render_with_camera", "make_diff_render"]
 
-_DIFF_CACHE: dict = {}
+# Digest-keyed + bounded + scene-pinning: see renderer.SceneCache.
+_DIFF_CACHE = SceneCache()
 
 
 def make_material_render_fn(scene_data, width: int, height: int, max_bounces: int, spp: int):
     """Jitted (materials, camera, key, t_min, ev_scale) -> (H, W, 3) image,
     averaging `spp` samples; differentiable in materials and camera."""
-    cache_key = (id(scene_data), width, height, max_bounces, spp)
+    cache_key = (scene_cache_key(scene_data), width, height, max_bounces, spp)
     fn = _DIFF_CACHE.get(cache_key)
     if fn is None:
 
@@ -64,7 +65,7 @@ def make_material_render_fn(scene_data, width: int, height: int, max_bounces: in
             _, inv = _tile_perm_np(width, height)
             return acc[jnp.asarray(inv)].reshape(height, width, 3) / spp
 
-        _DIFF_CACHE[cache_key] = fn
+        _DIFF_CACHE.put(cache_key, fn, scene_data)
     return fn
 
 

@@ -165,6 +165,12 @@ class MaterialTable:
             axis=1,
         )  # (M, 5)
         if color.shape[0] > self.ONE_HOT_MAX_MATERIALS:
+            # Clip: a negative id would WRAP to the last material under
+            # jax indexing (the one-hot path degrades to zeros instead).
+            # Unreachable today (mat_id is 0 on miss), guarded per ADVICE
+            # r4 so a future bad id degrades to material 0, not material
+            # M-1.
+            ids = jnp.clip(ids, 0, color.shape[0] - 1)
             c = color[ids]
             s = scalars[ids]
         else:

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..integrator import trace_paths
-from ..renderer import pixel_ndc_tiled
+from ..renderer import SceneCache, pixel_ndc_tiled, scene_cache_key
 
 __all__ = [
     "make_ray_mesh",
@@ -58,11 +58,13 @@ def _shard_body(scene_data, camera, key, xg, yg, jitter_scale, t_min, ev_scale, 
 
 # Scene data is closed over as constants (see the TPU-compile note in
 # rpt_tpu/renderer.py); only the wavefront + camera + key are arguments.
-_SHARD_CACHE: dict = {}
+# Keyed on the scene CONTENT digest (never a reusable id()) and bounded,
+# with each entry pinning its SceneData — see renderer.SceneCache.
+_SHARD_CACHE = SceneCache()
 
 
 def make_sharded_render_fn(scene_data, width: int, height: int, max_bounces: int, mesh: Mesh):
-    cache_key = (id(scene_data), width, height, max_bounces, mesh)
+    cache_key = (scene_cache_key(scene_data), width, height, max_bounces, mesh)
     fn = _SHARD_CACHE.get(cache_key)
     if fn is not None:
         return fn
@@ -90,7 +92,7 @@ def make_sharded_render_fn(scene_data, width: int, height: int, max_bounces: int
         colors = body(camera, key, xg_full, yg_full, jitter_scale, t_min, ev_scale)
         return colors[inv].reshape(height, width, 3)
 
-    _SHARD_CACHE[cache_key] = fn
+    _SHARD_CACHE.put(cache_key, fn, scene_data)
     return fn
 
 
@@ -112,7 +114,8 @@ def make_sharded_diff_fn(scene_data, width: int, height: int, max_bounces: int, 
     all-reduced across shards by shard_map's transpose (psum over ICI)."""
     import dataclasses
 
-    cache_key = ("diff", id(scene_data), width, height, max_bounces, mesh)
+    cache_key = ("diff", scene_cache_key(scene_data), width, height,
+                 max_bounces, mesh)
     cached = _SHARD_CACHE.get(cache_key)
     if cached is not None:
         return cached
@@ -146,7 +149,7 @@ def make_sharded_diff_fn(scene_data, width: int, height: int, max_bounces: int, 
         colors = body(materials, camera, key, xg_full, yg_full, jitter_scale, t_min, ev_scale)
         return colors[inv].reshape(height, width, 3)
 
-    _SHARD_CACHE[cache_key] = fn
+    _SHARD_CACHE.put(cache_key, fn, scene_data)
     return fn
 
 
@@ -161,7 +164,8 @@ def make_sharded_many_fn(scene_data, width: int, height: int, max_bounces: int, 
     fold_in(base_key, start+i) before the per-shard fold, identical to the
     per-pass sharded path, so chunked and unchunked renders are bit-identical.
     """
-    cache_key = ("many", id(scene_data), width, height, max_bounces, mesh)
+    cache_key = ("many", scene_cache_key(scene_data), width, height,
+                 max_bounces, mesh)
     fn = _SHARD_CACHE.get(cache_key)
     if fn is not None:
         return fn
@@ -208,7 +212,7 @@ def make_sharded_many_fn(scene_data, width: int, height: int, max_bounces: int, 
             ss[inv].reshape(height, width),
         )
 
-    _SHARD_CACHE[cache_key] = fn
+    _SHARD_CACHE.put(cache_key, fn, scene_data)
     return fn
 
 

@@ -262,3 +262,45 @@ class TestSceneMerge:
         hit = data.intersect(o, d, 1e-4)
         assert abs(float(hit.t[0]) - 15.0) < 1e-3
         assert int(hit.mat_id[0]) == 1
+
+
+def test_analytic_occluded_matches_closest_hit():
+    """scene.occluded must stay boolean-equal to intersect().t <= t_max now
+    that analytic NEE visibility has its own any-hit path (no winner
+    selection): same per-primitive hit times, OR vs min reduction."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from rpt_tpu import Material, Object, Scene, hex_color
+    from rpt_tpu.shapes import Cube, Mesh, MonomialSurface, Plane, Sphere
+
+    rng = np.random.default_rng(11)
+    scene = Scene()
+    scene.add(Object(Sphere().scale([1.3, 0.8, 1.0]).translate([0.5, 0.2, -1.0])))
+    scene.add(Object(Cube().rotate_y(0.4).translate([-1.2, 0.0, 0.5])))
+    scene.add(Object(Plane(np.array([0.0, 1.0, 0.0]), -1.5)))
+    scene.add(
+        Object(
+            MonomialSurface(height=1.0).translate([0.0, -0.5, 1.0])
+        ).material(Material.clear(1.5, 0.1))
+    )
+    tris = rng.normal(size=(5, 3, 3)) * 0.7 + np.array([1.5, 0.5, 0.5])
+    scene.add(Object(Mesh(tris)))
+    sd = scene.compile()
+
+    n = 512
+    o = jnp.asarray(rng.normal(size=(n, 3)) * 2.5, jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    t_max = jnp.asarray(rng.uniform(0.3, 6.0, size=(n,)), jnp.float32)
+
+    hit = sd.intersect(o, d, 1e-3)
+    occ = sd.occluded(o, d, 1e-3, t_max)
+    want = np.asarray(hit.t) <= np.asarray(t_max)
+    got = np.asarray(occ)
+    # Allow knife-edge float disagreements only at the exact boundary.
+    disagree = got != want
+    if disagree.any():
+        rel = np.abs(np.asarray(hit.t)[disagree] - np.asarray(t_max)[disagree])
+        assert np.all(rel < 1e-4), f"{disagree.sum()} non-boundary mismatches"
