@@ -42,7 +42,9 @@ TPU_TIMEOUT_S = 420
 CPU_TIMEOUT_S = 600
 # Constants ship with the executable through the ~1 GB/s TPU relay; the
 # 871k-tri dragon's packed tables are ~0.7 GB, so its child needs longer.
-TPU_TIMEOUT_OVERRIDES = {"dragon871k": 1500, "wine_glass": 600, "pegasus": 600}
+TPU_TIMEOUT_OVERRIDES = {
+    "dragon871k": 1500, "pegasus871k": 1500, "wine_glass": 600, "pegasus": 600,
+}
 
 # name -> (width, height, max_bounces, shadow_rays_per_vertex, warmup, passes)
 WORKLOADS = {
@@ -58,13 +60,24 @@ WORKLOADS = {
     #   pegasus    — 1200x1200, 8 bounces, HDRI sky, no NEE lights
     #     (pegasus.rs:81-85); shadow=0 because the scene is env-lit only
     "dragon871k": (960, 540, 2, 2, 1, 5),
+    #   pegasus871k — the real SCANNED pegasus mesh midpoint-subdivided to
+    #     the dragon.zip triangle count: validates the chunked wide-BVH on
+    #     real topology rather than the procedural trefoil (VERDICT r4
+    #     item 4); env-lit like pegasus, at dragon871k's resolution/bounces
+    "pegasus871k": (960, 540, 2, 0, 1, 5),
+    #   lego — lego-class INSTANCED scale (VERDICT r4 item 3): 192 unique
+    #     brick meshes shared by 768 instances (wide TLAS in ring-DMA mode,
+    #     >1536 wide nodes), 46 materials (row-gather path), at lego.rs's
+    #     960x540 x 5-bounce config
+    "lego": (960, 540, 5, 2, 1, 5),
     "wine_glass": (1920, 1080, 6, 1, 1, 5),
     "pegasus": (1200, 1200, 8, 0, 1, 5),
 }
 HEADLINE = "cornell"
 TPU_ATTEMPTS = {
     "cornell": 3, "teapot": 2, "fractal_teapots": 2, "dragon": 2,
-    "dragon871k": 2, "wine_glass": 2, "pegasus": 2,
+    "dragon871k": 2, "pegasus871k": 2, "lego": 2, "wine_glass": 2,
+    "pegasus": 2,
 }
 
 
@@ -109,6 +122,25 @@ def _build(name: str):
             (-2.5, 4.0, 6.5), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), math.pi / 6
         )
         return build_scene(None, target_tris=871_000), camera, 1e-3
+    if name == "pegasus871k":
+        from pegasus import DEFAULT_ZIP, build_scene
+
+        from rpt_tpu import Camera
+
+        camera = Camera.look_at(
+            (0.0, 1.5, 3.1), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0), math.pi / 4
+        )
+        return build_scene(DEFAULT_ZIP, target_tris=871_000), camera, 1e-3
+    if name == "lego":
+        from lego import build_brick_city
+
+        from rpt_tpu import Camera
+
+        camera = Camera.look_at(
+            (18.0, 14.0, 26.0), (0.0, 4.0, 0.0), (0.0, 1.0, 0.0),
+            math.pi / 5,
+        )
+        return build_brick_city(), camera, 1e-3
     if name == "wine_glass":
         import numpy as np
 

@@ -167,3 +167,125 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def _stud_brick_tris(nx, nz, segments):
+    """(T, 3, 3) float64 triangles for an nx x nz studded brick at the
+    origin (unit stud pitch, LEGO-ish proportions). Distinct (nx, nz,
+    segments) combinations give content-distinct meshes, so each compiles
+    to its own wide-BLAS."""
+    import numpy as np
+
+    tris = []
+
+    def quad(a, b, c, d):
+        tris.append([a, b, c])
+        tris.append([a, c, d])
+
+    def box(x0, y0, z0, x1, y1, z1):
+        v = [
+            (x0, y0, z0), (x1, y0, z0), (x1, y1, z0), (x0, y1, z0),
+            (x0, y0, z1), (x1, y0, z1), (x1, y1, z1), (x0, y1, z1),
+        ]
+        quad(v[0], v[3], v[2], v[1])
+        quad(v[4], v[5], v[6], v[7])
+        quad(v[0], v[1], v[5], v[4])
+        quad(v[1], v[2], v[6], v[5])
+        quad(v[2], v[3], v[7], v[6])
+        quad(v[3], v[0], v[4], v[7])
+
+    h = 1.2
+    box(0.0, 0.0, 0.0, float(nx), h, float(nz))
+    r, top = 0.3, h + 0.35
+    for i in range(nx):
+        for j in range(nz):
+            cx, cz = i + 0.5, j + 0.5
+            for k in range(segments):
+                a0 = 2.0 * math.pi * k / segments
+                a1 = 2.0 * math.pi * (k + 1) / segments
+                p0 = (cx + r * math.cos(a0), h, cz + r * math.sin(a0))
+                p1 = (cx + r * math.cos(a1), h, cz + r * math.sin(a1))
+                q0 = (p0[0], top, p0[2])
+                q1 = (p1[0], top, p1[2])
+                quad(p0, p1, q1, q0)
+                tris.append([(cx, top, cz), q0, q1])
+
+    import numpy as np
+
+    return np.asarray(tris, np.float64)
+
+
+def build_brick_city(n_instances=768, seed=0) -> Scene:
+    """Lego-class INSTANCED stress scene (bench workload `lego`).
+
+    The reference reaches this regime by loading LEGO.Creator_Plane
+    (lego.rs:11-66, examples/lego.zip — absent from the reference repo
+    itself): many parts, dozens of `usemtl` materials. Here: 96 unique
+    studded-brick meshes (all (nx, nz, segments) combinations) SHARED by
+    hundreds of transformed instances — the two-level wide TLAS past its
+    VMEM-resident budget (>1536 wide nodes -> ring-DMA kernel) — plus 48
+    materials (exercising the >32-material row-gather fallback), a ground
+    plane and an area light."""
+    import numpy as np
+
+    from rpt_tpu import PointLight, plane
+    from rpt_tpu.shapes import Mesh, Transformed
+
+    rng = np.random.default_rng(seed)
+    meshes = [
+        Mesh(_stud_brick_tris(nx, nz, seg))
+        for nx in (1, 2, 3, 4)
+        for nz in (1, 2)
+        for seg in range(14, 38)
+    ]  # 192 unique brick types (content-distinct => one wide-BLAS each)
+    mats = []
+    for m in range(48):
+        col = tuple(0.25 + 0.7 * rng.random(3))
+        if m % 7 == 0:
+            mats.append(Material.metallic_mat(col, 0.2 + 0.3 * rng.random()))
+        elif m % 11 == 0:
+            mats.append(Material.clear(1.5, 0.05))
+        else:
+            mats.append(Material.specular(col, 0.1 + 0.5 * rng.random()))
+
+    scene = Scene()
+    # Brick-wall towers on a grid: stacked rows with per-instance transforms.
+    per_tower = 48
+    n_towers = max(1, n_instances // per_tower)
+    idx = 0
+    for t in range(n_towers):
+        bx = (t % 4 - 1.5) * 8.0
+        bz = (t // 4 - 1.5) * 8.0
+        for row in range(12):
+            for col in range(4):
+                if idx >= n_instances:
+                    break
+                mesh = meshes[rng.integers(len(meshes))]
+                mat = mats[rng.integers(len(mats))]
+                s = 0.45 + 0.15 * rng.random()
+                node = (
+                    Transformed(mesh, np.eye(4))
+                    .scale([s, s, s])
+                    .rotate_y(float(rng.random() * 0.3 - 0.15))
+                    .translate([
+                        bx + col * 2.0 + 0.2 * rng.random(),
+                        row * 0.8,
+                        bz + 0.2 * rng.random(),
+                    ])
+                )
+                scene.add(Object(node, mat))
+                idx += 1
+    scene.add(
+        Object(plane([0.0, 1.0, 0.0], 0.0)).material(
+            Material.diffuse((0.6, 0.6, 0.62))
+        )
+    )
+    scene.add(
+        ObjectLight(
+            Object(
+                sphere().scale([5.0, 5.0, 5.0]).translate([10.0, 30.0, 20.0])
+            ).material(Material.light((1.0, 1.0, 1.0), 40.0))
+        )
+    )
+    scene.add(PointLight((30.0, 30.0, 30.0), [-12.0, 18.0, -8.0]))
+    return scene

@@ -41,7 +41,68 @@ def load_pegasus(zip_path):
             return load_obj(io.TextIOWrapper(f, encoding="utf-8"))
 
 
-def build_scene(zip_path, hdr_path=None) -> Scene:
+def subdivide_to(mesh, target_tris: int):
+    """Midpoint-subdivide a mesh to ~target_tris (real SCANNED topology at
+    dragon.zip scale, dragon.rs:11-22): one full 1:4 pass per doubling-x4,
+    then largest-area triangles split 1:4 until the count is reached.
+    Shading normals are linearly interpolated at edge midpoints, so the
+    subdivided surface shades identically to the base mesh. Used by the
+    pegasus871k bench row to validate the chunked wide-BVH on a scanned
+    mesh rather than the procedural trefoil (VERDICT r4 item 4)."""
+    import numpy as np
+
+    from rpt_tpu.shapes import Mesh
+
+    v = np.asarray(mesh.vertices, np.float64)
+    n = np.asarray(mesh.normals, np.float64)
+
+    def split_all(v, n):
+        m01v, m12v, m20v = (
+            0.5 * (v[:, 0] + v[:, 1]),
+            0.5 * (v[:, 1] + v[:, 2]),
+            0.5 * (v[:, 2] + v[:, 0]),
+        )
+        m01n, m12n, m20n = (
+            n[:, 0] + n[:, 1], n[:, 1] + n[:, 2], n[:, 2] + n[:, 0],
+        )
+        tv = np.stack(
+            [
+                np.stack([v[:, 0], m01v, m20v], 1),
+                np.stack([m01v, v[:, 1], m12v], 1),
+                np.stack([m20v, m12v, v[:, 2]], 1),
+                np.stack([m01v, m12v, m20v], 1),
+            ],
+            1,
+        ).reshape(-1, 3, 3)
+        tn = np.stack(
+            [
+                np.stack([n[:, 0], m01n, m20n], 1),
+                np.stack([m01n, n[:, 1], m12n], 1),
+                np.stack([m20n, m12n, n[:, 2]], 1),
+                np.stack([m01n, m12n, m20n], 1),
+            ],
+            1,
+        ).reshape(-1, 3, 3)
+        ln = np.linalg.norm(tn, axis=-1, keepdims=True)
+        return tv, tn / np.where(ln > 1e-30, ln, 1.0)
+
+    while v.shape[0] * 4 <= target_tris:
+        v, n = split_all(v, n)
+    if v.shape[0] < target_tris:
+        k = (target_tris - v.shape[0]) // 3  # each split nets +3 triangles
+        areas = 0.5 * np.linalg.norm(
+            np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1
+        )
+        big = np.argsort(areas)[-k:] if k else np.zeros(0, np.int64)
+        keep = np.ones(v.shape[0], bool)
+        keep[big] = False
+        sv, sn = split_all(v[big], n[big])
+        v = np.concatenate([v[keep], sv])
+        n = np.concatenate([n[keep], sn])
+    return Mesh(v, n)
+
+
+def build_scene(zip_path, hdr_path=None, target_tris=None) -> Scene:
     scene = Scene()
     if hdr_path:
         from rpt_tpu.io.image import load_hdr
@@ -53,6 +114,8 @@ def build_scene(zip_path, hdr_path=None) -> Scene:
         scene.set_environment(Environment.from_hdri(procedural_sky()))
 
     pegasus = load_pegasus(zip_path)
+    if target_tris:
+        pegasus = subdivide_to(pegasus, target_tris)
     print(f"Loaded {pegasus.num_triangles} triangles")
     ice = Material.transparent_colored(hex_color(0xF8F8FF), 1.31, 0.2)
     scene.add(Object(pegasus.scale([1.4, 1.4, 1.4])).material(ice))

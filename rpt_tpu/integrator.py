@@ -223,24 +223,28 @@ def _intersect_mortonsorted(scene, o, d, t_min, active):
 
 
 def _auto_compact(scene, max_bounces: int):
-    """Plain masking for small scenes; octant sorting for megamesh scenes.
+    """Plain masking for small scenes; morton wavefront sorting wherever a
+    WIDE Pallas kernel traverses (bvh8 mesh or tlas8 instances).
 
-    Compaction/octant modes were MEASURED OFF at dragon-120k scale (r3/r4:
-    the partition's prefix-sum + 6 wavefront gathers outweighed the packet
-    node-union reduction; tools/compaction_ab.py). At 871k-tri scale the
-    trade flips: a scattered bounce wavefront costs ~100 ms per traversal
-    (vs ~31 ms coherent, r5 TPU measurement) because each divergent packet
-    drags in up to 44 chunks and their node unions, while the octant
-    permutation costs ~2 ms. Heuristic: octant-sort once the mesh BVH is
-    big enough to be chunked (>1 chunk). Env override RPT_COMPACT=
-    0|1|octant for A/B."""
+    Compaction/octant modes were MEASURED OFF at dragon-120k scale in
+    rounds 3-4, but that implementation was gather-bound (6 narrow row
+    gathers + a scatter-built inverse per sorted traversal, ~55 ms at 518k
+    rays). With the r5 packed-gather + argsort-inverse machinery the sort
+    costs ~17 ms and the wins are decisive on every wide-kernel scene
+    (TPU v5e, driver configs): dragon 5.8 -> 27.2, dragon871k 4.7 -> 16.6,
+    pegasus 6.3 -> 14.8, wine_glass 23.0 -> 30.8, lego 2.7 -> 16.9
+    Mrays/s. Depth-0 wavefronts (tile-coherent) are never sorted, so
+    0-bounce workloads (teapot, fractal_teapots) are unaffected. Small
+    brute-force/binary-kernel meshes keep plain masking (their traversals
+    are cheaper than the sort). Env override RPT_COMPACT=0|1|octant|morton
+    for A/B."""
     import os
 
     mode = os.environ.get("RPT_COMPACT")
     if mode is not None and mode != "":
         return mode if mode in ("octant", "morton") else bool(int(mode))
-    packed = getattr(scene, "bvh8_packed", None)
-    if packed is not None and getattr(packed, "n_chunks", 1) > 1:
+    if (getattr(scene, "bvh8_packed", None) is not None
+            or getattr(scene, "instanced8_packed", None) is not None):
         return "morton"
     return False
 

@@ -253,12 +253,13 @@ def pack_bvh8_for_pallas(bvh: BvhData) -> Optional[Bvh8Pack]:
     if max(_stack_need(ca, cb) for _, ca, cb in collapsed) >= STACK_CAP:
         return None
     Mc = max(c[0].shape[0] for c in collapsed)
-    if C > 1:
-        # Mosaic rank-1 SMEM blocks must be whole-array or a multiple of the
-        # tiling (observed 1024 elements on v5e, cf. bvh_pallas): Mc*24 a
-        # multiple of 1024 => Mc a multiple of 128. Padded nodes are
-        # unreachable (meta count=-1, inverted boxes).
-        Mc = -(-Mc // 128) * 128
+    # The kernel's manual meta DMA is a flat dynamic slice of Mc*24 i32;
+    # Mosaic requires slice offsets/lengths aligned to the (8, 128) = 1024-
+    # element tiling, so Mc is ALWAYS rounded to a multiple of 128 (Mc*24 is
+    # then a 3072-multiple) — including the single-chunk case (a C == 1
+    # wine_glass-class mesh hit exactly this as a Mosaic compile error).
+    # Padded nodes are unreachable (meta count=-1, inverted boxes).
+    Mc = -(-Mc // 128) * 128
 
     wbounds = np.zeros((C, Mc, BRANCH, TRI_ROW), np.float32)
     # Empty/padded children: inverted boxes never pass the slab test.

@@ -30,15 +30,27 @@ Shape, kdtree.rs:128 + shape.rs:127-137):
 
 Triangle leaves run the same double-buffered leaf-DMA + deferred-test
 pipeline as bvh8_pallas (identical swizzled (8,128) rows, local space,
-shared by all instances). Scenes whose wide tables exceed the VMEM budget
-fall back to the binary kernel (tlas8_eligible). Result contract matches
+shared by all instances). Result contract matches
 tlas.instanced_closest_hit.
+
+Table-size regimes (round 5, VERDICT r4 item 3 — the 1536-node cliff):
+- <= MAX_RESIDENT_WIDE_NODES: the whole (Mw, 8, 128) bounds table lives in
+  VMEM (6 MB at the cap) and node reads are plain vector loads.
+- <= MAX_DMA_WIDE_NODES ("dma" mode, lego-class scenes): bounds stay in
+  HBM; every PUSH of a tag-0/1 stack entry starts an async copy of that
+  node's 4 KB tile into a VMEM ring slot addressed by the entry's stack
+  position, and the pop waits it — by which time the intervening walk
+  work has usually covered the DMA latency. VMEM cost is STACK_CAP tiles
+  (512 KB) regardless of table size; the binding budget becomes the SMEM
+  meta table (96 B/node). Instance entries (tag 2) carry no tile.
+- beyond: loud warning + binary-TLAS fallback (pack returns None).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+import warnings
 
 import numpy as np
 import jax
@@ -71,10 +83,12 @@ __all__ = [
     "Tlas8Pack",
 ]
 
-# Combined wide-node budget (TLAS + all BLAS): bounds tiles are 4 KB each in
-# VMEM and the kernel keeps the WHOLE table resident (no chunk streaming at
-# this level — fractal_teapots needs ~300 wide nodes total).
-MAX_WIDE_NODES = 1536
+# Combined wide-node budget (TLAS + all BLAS) for the VMEM-RESIDENT kernel:
+# bounds tiles are 4 KB each (fractal_teapots needs ~300 wide nodes total).
+MAX_RESIDENT_WIDE_NODES = 1536
+# "dma" mode cap: the whole meta table (96 B/node) + instance tables must fit
+# the ~1 MB SMEM; bounds live in HBM and stream per-node through the ring.
+MAX_DMA_WIDE_NODES = 8192
 
 
 @jax.tree_util.register_dataclass
@@ -88,6 +102,11 @@ class Tlas8Pack:
     tri: jnp.ndarray  # (L, 8, 128) f32 swizzled local-space leaf blocks
     p_verts: jnp.ndarray  # (L*8, 3, 3) packed local verts
     p_norms: jnp.ndarray  # (L*8, 3, 3)
+    # "resident" (bounds whole-VMEM) or "dma" (bounds HBM + per-node ring
+    # copies); static pytree metadata — it selects the kernel.
+    mode: str = dataclasses.field(
+        default="resident", metadata=dict(static=True)
+    )
 
 
 def _collapse_wide(skip, is_leaf, payload_a, payload_b, root, out_nodes,
@@ -166,10 +185,14 @@ def _emit_wide(out_nodes):
 
 
 def tlas8_eligible(im: InstancedMeshes) -> bool:
-    # Rough wide-node bound: at worst one wide node per 2 binary internals.
+    # Cheap pre-gate: the smallest-first collapse absorbs ~5-9 binary nodes
+    # per wide node (measured 8.7 on the 192-mesh brick city); /5 is the
+    # conservative end. A scene that squeaks past this but truly overflows
+    # is still caught by pack_tlas8_for_pallas returning None (with a loud
+    # warning) after the exact collapse.
     Mt = int(np.asarray(im.t_min).shape[0])
     Mb = int(np.asarray(im.b_min).shape[0])
-    return (Mt + Mb) // 2 + 16 <= MAX_WIDE_NODES
+    return (Mt + Mb) // 5 + 16 <= MAX_DMA_WIDE_NODES
 
 
 def pack_tlas8_for_pallas(im: InstancedMeshes) -> Tlas8Pack:
@@ -234,26 +257,50 @@ def pack_tlas8_for_pallas(im: InstancedMeshes) -> Tlas8Pack:
         np.int32,
     )
 
-    assert bounds.shape[0] <= MAX_WIDE_NODES, (
-        "tlas8_eligible should have rejected this scene"
-    )
+    Mw = bounds.shape[0]
+    if Mw <= MAX_RESIDENT_WIDE_NODES:
+        mode = "resident"
+    elif Mw <= MAX_DMA_WIDE_NODES:
+        mode = "dma"
+    else:
+        warnings.warn(
+            f"wide TLAS table ({Mw} wide nodes) exceeds MAX_DMA_WIDE_NODES="
+            f"{MAX_DMA_WIDE_NODES}; falling back to the ~7x slower binary "
+            "two-level kernel",
+            stacklevel=2,
+        )
+        return None
     return Tlas8Pack(
         bounds=bounds, meta=meta, inst_f=inst_f, inst_i=inst_i, tri=tri,
         p_verts=p_verts.astype(np.float32),
         p_norms=p_norms.astype(np.float32),
+        mode=mode,
     )
 
 
-def _make_kernel_t8(occl: bool):
-    """Build the closest-hit (occl=False) or any-hit (occl=True) kernel."""
+def _make_kernel_t8(occl: bool, resident: bool = True):
+    """Build the closest-hit (occl=False) or any-hit (occl=True) kernel;
+    `resident` selects whole-VMEM bounds vs the HBM + per-push ring-DMA
+    large-table mode (module docstring)."""
 
     def kernel(meta_ref, inst_i, inst_f, tmin_ref, nb_ref, rays_ref, tri_ref,
                *out_and_scratch):
         if occl:
-            occ_ref, stack_ref, tri_scratch, dma_sem = out_and_scratch
+            outs, rest = out_and_scratch[:1], out_and_scratch[1:]
+            (occ_ref,) = outs
         else:
-            (t_ref, id_ref, inst_ref, stack_ref, tri_scratch,
-             dma_sem) = out_and_scratch
+            outs, rest = out_and_scratch[:3], out_and_scratch[3:]
+            t_ref, id_ref, inst_ref = outs
+        if resident:
+            stack_ref, tri_scratch, dma_sem = rest
+            node_dma = None
+        else:
+            stack_ref, ring, ring_sem, tri_scratch, dma_sem = rest
+
+            def node_dma(idx, slot):
+                return pltpu.make_async_copy(
+                    nb_ref.at[idx], ring.at[slot], ring_sem.at[slot]
+                )
         r = rays_ref[0]
         SUBS = r.shape[1]
         wox, woy, woz = r[0], r[1], r[2]
@@ -366,7 +413,10 @@ def _make_kernel_t8(occl: bool):
                 ldz = a20 * wdx + a21 * wdy + a22 * wdz
                 ilx, ily, ilz = safe_inv(ldx), safe_inv(ldy), safe_inv(ldz)
 
-                stack_ref[sp] = jnp.left_shift(inst_i[idx], 2) | 1
+                blas_root = inst_i[idx]
+                stack_ref[sp] = jnp.left_shift(blas_root, 2) | 1
+                if not resident:
+                    node_dma(blas_root, sp).start()
                 sp = sp + 1
                 return (acc, lox, loy, loz, ldx, ldy, ldz, ilx, ily, ilz, sp,
                         jnp.int32(0), jnp.int32(0), cur)
@@ -374,7 +424,14 @@ def _make_kernel_t8(occl: bool):
             def node_step(args):
                 (acc, lox, loy, loz, ldx, ldy, ldz, ilx, ily, ilz, sp,
                  p_start, p_count, cur) = args
-                b = nb_ref[idx]  # (8, 128)
+                if resident:
+                    b = nb_ref[idx]  # (8, 128)
+                else:
+                    # The tile was DMA'd at PUSH time into the ring slot
+                    # addressed by this entry's stack position; the walk
+                    # work since then usually covers the copy latency.
+                    node_dma(idx, sp).wait()
+                    b = ring[sp]
                 bmnx, bmny, bmnz = b[:, 0:1], b[:, 1:2], b[:, 2:3]
                 bmxx, bmxy, bmxz = b[:, 3:4], b[:, 4:5], b[:, 5:6]
 
@@ -434,6 +491,13 @@ def _make_kernel_t8(occl: bool):
                     def _(a=a, child_tag=child_tag, sp=sp):
                         stack_ref[sp] = jnp.left_shift(a, 2) | child_tag
 
+                    if not resident:
+                        # Prefetch the pushed node's tile into its slot
+                        # (instance entries, cb == -2, carry no tile).
+                        @pl.when(is_push & (cb == 0))
+                        def _(a=a, sp=sp):
+                            node_dma(a, sp).start()
+
                     sp = sp + is_push.astype(jnp.int32)
 
                 # Pass 2 near-first: triangle-leaf children (BLAS part only;
@@ -488,6 +552,8 @@ def _make_kernel_t8(occl: bool):
 
         zero_v = jnp.zeros((SUBS, LANES), jnp.float32)
         stack_ref[0] = jnp.int32(0)  # TLAS wide root, tag 0 (world rays)
+        if not resident:
+            node_dma(jnp.int32(0), jnp.int32(0)).start()
         acc0 = occ_ref[0] if occl else (t_ref[0], id_ref[0], inst_ref[0])
         init = (
             jnp.int32(1), acc0, jnp.int32(0), jnp.int32(0), jnp.int32(0),
@@ -520,47 +586,59 @@ def _make_kernel_t8(occl: bool):
     return kernel
 
 
-_KERNEL_T8 = _make_kernel_t8(occl=False)
-_KERNEL_T8_OCCL = _make_kernel_t8(occl=True)
+_KERNELS_T8 = {
+    (occl, resident): _make_kernel_t8(occl=occl, resident=resident)
+    for occl in (False, True)
+    for resident in (False, True)
+}
 
 
-def _t8_grid_spec(SUBS, n_out):
+def _t8_grid_spec(SUBS, n_out, resident):
     out_spec = pl.BlockSpec(
         (1, SUBS, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    scratch = [pltpu.SMEM((STACK_CAP,), jnp.int32)]
+    if not resident:
+        scratch += [
+            pltpu.VMEM((STACK_CAP, BRANCH, TRI_ROW), jnp.float32),  # ring
+            pltpu.SemaphoreType.DMA((STACK_CAP,)),
+        ]
+    scratch += [
+        pltpu.VMEM((2, KMAX, TRI_ROW), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     return dict(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
             pl.BlockSpec(memory_space=pltpu.SMEM),  # inst_i
             pl.BlockSpec(memory_space=pltpu.SMEM),  # inst_f
             pl.BlockSpec(memory_space=pltpu.SMEM),  # t_min
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bounds (Mw,8,128)
+            pl.BlockSpec(
+                memory_space=pltpu.VMEM if resident else pl.ANY
+            ),  # bounds (Mw,8,128)
             pl.BlockSpec(
                 (1, 8, SUBS, LANES), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # tri blocks, HBM
         ],
-        scratch_shapes=[
-            pltpu.SMEM((STACK_CAP,), jnp.int32),
-            pltpu.VMEM((2, KMAX, TRI_ROW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         out_specs=[out_spec] * n_out,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "mode"))
 def _traverse_t8(meta, inst_i, inst_f, bounds, tri_pack, rays, t_min, *,
-                 interpret=False):
+                 mode="resident", interpret=False):
     G, _, SUBS, _ = rays.shape
+    resident = mode == "resident"
     t_min_arr = jnp.reshape(t_min.astype(jnp.float32), (1,))
-    spec = _t8_grid_spec(SUBS, 3)
+    spec = _t8_grid_spec(SUBS, 3, resident)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=(G,), **spec
     )
     return pl.pallas_call(
-        _KERNEL_T8,
+        _KERNELS_T8[(False, resident)],
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((G, SUBS, LANES), jnp.float32),
@@ -571,17 +649,18 @@ def _traverse_t8(meta, inst_i, inst_f, bounds, tri_pack, rays, t_min, *,
     )(meta, inst_i, inst_f, t_min_arr, bounds, rays, tri_pack)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "mode"))
 def _traverse_t8_occl(meta, inst_i, inst_f, bounds, tri_pack, rays, t_min, *,
-                      interpret=False):
+                      mode="resident", interpret=False):
     G, _, SUBS, _ = rays.shape
+    resident = mode == "resident"
     t_min_arr = jnp.reshape(t_min.astype(jnp.float32), (1,))
-    spec = _t8_grid_spec(SUBS, 1)
+    spec = _t8_grid_spec(SUBS, 1, resident)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0, grid=(G,), **spec
     )
     (occ_out,) = pl.pallas_call(
-        _KERNEL_T8_OCCL,
+        _KERNELS_T8[(True, resident)],
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((G, SUBS, LANES), jnp.float32)],
         interpret=interpret,
@@ -611,7 +690,7 @@ def tlas8_closest_hit_pallas(
                       subs or DEFAULT_SUBS)
     t_out, id_out, inst_out = _traverse_t8(
         packed.meta, packed.inst_i, packed.inst_f, packed.bounds, packed.tri,
-        rays, jnp.asarray(t_min), interpret=interpret,
+        rays, jnp.asarray(t_min), mode=packed.mode, interpret=interpret,
     )
     t_best = t_out.reshape(-1)[:N].astype(o.dtype)
     best_tri = id_out.reshape(-1)[:N]
@@ -655,7 +734,7 @@ def tlas8_occluded_pallas(
     rays = _pack_rays(o, d, tmax32, active, subs or DEFAULT_SUBS)
     occ_out = _traverse_t8_occl(
         packed.meta, packed.inst_i, packed.inst_f, packed.bounds, packed.tri,
-        rays, jnp.asarray(t_min), interpret=interpret,
+        rays, jnp.asarray(t_min), mode=packed.mode, interpret=interpret,
     )
     occ = occ_out.reshape(-1)[:N] > 0.5
     if active is not None:

@@ -93,3 +93,53 @@ def test_tlas8_pack_structure():
     # Instance wide-BLAS roots are valid node indices past the TLAS part.
     assert (np.asarray(pack.inst_i) >= 0).all()
     assert (np.asarray(pack.inst_i) < Mw).all()
+
+
+def test_tlas8_dma_mode_matches_xla(monkeypatch):
+    """Large-table ("dma") kernel parity: force the ring-DMA mode on a small
+    fixture by shrinking the resident threshold, so the per-push node-tile
+    copies + pop-time waits are exercised end to end (VERDICT r4 item 3:
+    no silent cliff past the VMEM-resident budget)."""
+    import rpt_tpu.ops.tlas8_pallas as t8
+
+    monkeypatch.setattr(t8, "MAX_RESIDENT_WIDE_NODES", 2)
+    meshes, instances = _build_instanced_scene(3, 17)
+    im = build_instanced(meshes, instances)
+    packed = t8.pack_tlas8_for_pallas(im)
+    assert packed.mode == "dma"
+    o, d = _rays_at_instances(333, meshes, instances)
+    t_min = 1e-3
+
+    ref = instanced_closest_hit(im, o, d, t_min)
+    got = tlas8_closest_hit_pallas(im, o, d, t_min, packed=packed,
+                                   interpret=True)
+    hit_ref = np.isfinite(np.asarray(ref.t))
+    assert hit_ref.sum() > 60
+    np.testing.assert_array_equal(np.isfinite(np.asarray(got.t)), hit_ref)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[hit_ref], np.asarray(ref.t)[hit_ref],
+        rtol=2e-5, atol=2e-5,
+    )
+
+    rng = np.random.default_rng(9)
+    t_max = jnp.asarray(rng.uniform(6.0, 14.0, o.shape[0]), jnp.float32)
+    occ = tlas8_occluded_pallas(im, o, d, t_min, t_max, packed=packed,
+                                interpret=True)
+    want = np.asarray(ref.t) <= np.asarray(t_max)
+    np.testing.assert_array_equal(np.asarray(occ), want)
+
+
+def test_tlas8_overflow_falls_back_loudly(monkeypatch):
+    import warnings as w
+
+    import rpt_tpu.ops.tlas8_pallas as t8
+
+    monkeypatch.setattr(t8, "MAX_RESIDENT_WIDE_NODES", 2)
+    monkeypatch.setattr(t8, "MAX_DMA_WIDE_NODES", 4)
+    meshes, instances = _build_instanced_scene(3, 17)
+    im = build_instanced(meshes, instances)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        packed = t8.pack_tlas8_for_pallas(im)
+    assert packed is None
+    assert any("binary" in str(r.message) for r in rec)

@@ -24,6 +24,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="dragon", choices=["dragon", "pegasus"])
     ap.add_argument("--tris", type=int, default=871_000)
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--sample", type=int, default=32)
@@ -34,15 +35,23 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     import math
 
-    from dragon import build_scene
     from rpt_tpu import Camera
     from rpt_tpu.renderer import pixel_ndc_tiled
     from rpt_tpu.ops.bvh8_pallas import META_STRIDE, BRANCH
 
     t0 = time.time()
-    scene = build_scene(None, target_tris=args.tris)
-    camera = Camera.look_at((-2.5, 4.0, 6.5), (0.0, 0.0, 0.0),
-                            (0.0, 1.0, 0.0), math.pi / 6)
+    if args.scene == "dragon":
+        from dragon import build_scene
+
+        scene = build_scene(None, target_tris=args.tris)
+        camera = Camera.look_at((-2.5, 4.0, 6.5), (0.0, 0.0, 0.0),
+                                (0.0, 1.0, 0.0), math.pi / 6)
+    else:
+        from pegasus import DEFAULT_ZIP, build_scene
+
+        scene = build_scene(DEFAULT_ZIP, target_tris=args.tris)
+        camera = Camera.look_at((0.0, 1.5, 3.1), (0.0, 1.0, 0.0),
+                                (0.0, 1.0, 0.0), math.pi / 4)
     sd = scene.compile()
     p8 = sd.bvh8_packed
     print(f"scene compiled in {time.time() - t0:.0f}s")
