@@ -268,6 +268,46 @@ def _check_tlas_parity(scene_data, camera, t_min):
     _log(f"[child] {name} Pallas parity OK over {int(finite.sum())} hits")
 
 
+def _check_sort_parity(scene_data, camera, t_min, bounces):
+    """On TPU, assert the wavefront-sorted integrator path (morton/octant,
+    auto-enabled for wide-kernel scenes) matches the plain masked path on a
+    small 2-bounce trace. The sort is bit-identical BY DESIGN (a
+    permutation cannot change any lane's closest hit), so any disagreement
+    is a real-hardware bug the CPU tests cannot see — r5 found exactly one:
+    int->f32 BITCAST lanes in the packed permutation gather turn small ints
+    into denormals, which TPU vector ops flush to zero, silently killing
+    every bounce lane (active=True became 0.0). CPU does not flush, so
+    interpret-mode parity was green while every morton render on hardware
+    lost its indirect light."""
+    import jax
+    import numpy as np
+
+    from rpt_tpu.integrator import _auto_compact, trace_paths
+    from rpt_tpu.renderer import _split_big_leaves, pixel_ndc
+
+    mode = _auto_compact(scene_data, bounces)
+    if not mode or bounces == 0:
+        _log("[child] no wavefront sorting in play; skipping sort parity")
+        return
+    xg, yg, _ = pixel_ndc(160, 100)
+    key = jax.random.PRNGKey(3)
+    o, d = camera.cast_rays(xg, yg, key)
+    b = min(bounces, 2)
+    rebuild, big = _split_big_leaves(scene_data)
+    f_sort = jax.jit(lambda bb, o, d: trace_paths(
+        rebuild(bb), o, d, key, b, t_min, compact=mode))
+    f_plain = jax.jit(lambda bb, o, d: trace_paths(
+        rebuild(bb), o, d, key, b, t_min, compact=False))
+    a = np.asarray(jax.device_get(f_sort(big, o, d)))
+    p = np.asarray(jax.device_get(f_plain(big, o, d)))
+    diff = np.abs(a - p)
+    assert np.percentile(diff, 99.9) < 1e-5, (
+        f"sorted({mode}) vs plain trace mismatch: p99.9="
+        f"{np.percentile(diff, 99.9)} max={diff.max()}"
+    )
+    _log(f"[child] wavefront-sort ({mode}) parity OK over {a.shape[0]} rays")
+
+
 def measure(platform: str, workload: str) -> None:
     """Child-process entry: run one workload and print its JSON line."""
     import jax
@@ -299,6 +339,7 @@ def measure(platform: str, workload: str) -> None:
     if platform == "tpu":
         _check_pallas_parity(scene_data, camera, t_min)
         _check_tlas_parity(scene_data, camera, t_min)
+        _check_sort_parity(scene_data, camera, t_min, bounces)
 
     base = jax.random.PRNGKey(0)
     fn = make_render_many_fn(scene_data, width, height, bounces)

@@ -166,16 +166,18 @@ def _gather_packed(perm, arrays):
 
     TPU row-gathers are row-count-bound (~5.5 ms at 518k rows whether the
     row is 4 or 64 bytes, r5 measurement), so packing the columns into one
-    matrix and gathering once replaces k gathers with one. Integer/bool
-    columns ride as bitcast f32 lanes."""
+    matrix and gathering once replaces k gathers with one.
+
+    Integer/bool columns ride as f32 VALUES, not bitcasts: f32 is exact
+    for |v| < 2^24 (mat_id, bool flags — triangle counts here are ~2^20),
+    while a bitcast turns small ints into DENORMAL bit patterns that TPU
+    vector ops flush to zero — a bitcast active mask silently killed every
+    bounce lane on real hardware (r5 bug; CPU, which doesn't flush, hid it
+    from the interpret-mode tests)."""
     cols, specs = [], []
     for a in arrays:
         x = a
-        if x.dtype == jnp.bool_:
-            x = x.astype(jnp.int32)
-        if jnp.issubdtype(x.dtype, jnp.integer):
-            x = jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
-        elif x.dtype != jnp.float32:
+        if x.dtype != jnp.float32:
             x = x.astype(jnp.float32)
         if x.ndim == 1:
             x = x[:, None]
@@ -188,9 +190,9 @@ def _gather_packed(perm, arrays):
         sl = packed[:, off:off + w]
         off += w
         if dt == jnp.bool_:
-            sl = jax.lax.bitcast_convert_type(sl, jnp.int32) != 0
+            sl = sl > 0.5
         elif jnp.issubdtype(dt, jnp.integer):
-            sl = jax.lax.bitcast_convert_type(sl, jnp.int32).astype(dt)
+            sl = sl.astype(dt)
         else:
             sl = sl.astype(dt)
         out.append(sl[:, 0] if nd == 1 else sl)
