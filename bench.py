@@ -43,7 +43,8 @@ CPU_TIMEOUT_S = 600
 # Constants ship with the executable through the ~1 GB/s TPU relay; the
 # 871k-tri dragon's packed tables are ~0.7 GB, so its child needs longer.
 TPU_TIMEOUT_OVERRIDES = {
-    "dragon871k": 1500, "pegasus871k": 1500, "wine_glass": 600, "pegasus": 600,
+    "dragon871k": 1500, "pegasus871k": 1500, "wine_glass": 700,
+    "pegasus": 700, "lego": 700,
 }
 
 # name -> (width, height, max_bounces, shadow_rays_per_vertex, warmup, passes)
