@@ -137,8 +137,14 @@ def _morton_perm(o: jnp.ndarray, d: jnp.ndarray, active: jnp.ndarray,
     quantized to the scene box groups each packet onto one surface cell,
     shrinking both the live-chunk list and each walked chunk's opened set.
     24-bit key = octant(3) | morton21(7 bits/axis); dead lanes sort last.
-    O(N log N) argsort (~2 ms at 518k rays) vs ~100 ms incoherent megamesh
-    traversals (r5 TPU measurement). Returns (perm, pos), pos = perm^-1."""
+    O(N log N) argsort (~3 ms at 518k rays) vs ~100+ ms incoherent
+    megamesh traversals. KEY ORDER A/B (r5, TPU): origin-major measured
+    18% faster on an ISOLATED scattered-bounce closest-hit (129 -> 106 ms)
+    but was end-to-end neutral on dragon871k/dragon/wine_glass and a 17%
+    REGRESSION on lego (the two-level TLAS walk is direction-driven:
+    near-to-far instance ordering needs octant-coherent packets), so
+    octant-major is the shipped order. Returns (perm, pos), pos =
+    perm^-1."""
     n = d.shape[0]
     octant = (
         (d[:, 0] < 0).astype(jnp.int32)
