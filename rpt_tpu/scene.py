@@ -90,7 +90,7 @@ BVH_THRESHOLD = 64
 import os as _os
 
 _BVH_KERNEL = _os.environ.get("RPT_BVH_KERNEL", "wide")
-WIDE_KERNEL_MIN_TRIS = 16_384
+WIDE_KERNEL_MIN_TRIS = int(_os.environ.get("RPT_WIDE_MIN_TRIS", "16384"))
 
 # Analytic primitive batches larger than this are intersected in fori_loop
 # chunks so the (N rays x P prims) broadcast stays memory-bounded.
