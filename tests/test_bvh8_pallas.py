@@ -114,3 +114,27 @@ def test_bvh8_occlusion_matches_closest():
     want = ref_t <= np.asarray(t_max)
     assert want.any() and (~want).any()
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_bvh8_pack_failure_falls_back_to_binary(monkeypatch):
+    """When the wide pack hits a static-budget wall (here: a tiny forced
+    STACK_CAP), pack_bvh8_for_pallas returns None and compile_scene ships
+    the binary packet kernel instead of crashing (ADVICE r4)."""
+    import rpt_tpu.ops.bvh8_pallas as b8
+    import rpt_tpu.scene as scene_mod
+
+    monkeypatch.setattr(b8, "STACK_CAP", 2)
+    monkeypatch.setattr(scene_mod, "WIDE_KERNEL_MIN_TRIS", 1)
+
+    verts, norms, mats = _random_mesh(800, seed=9)
+    bvh = build_bvh(verts, norms, mats)
+    assert b8.pack_bvh8_for_pallas(bvh) is None
+
+    from rpt_tpu import Material, Object, Scene
+    from rpt_tpu.shapes import Mesh
+
+    scene = Scene()
+    scene.add(Object(Mesh(np.asarray(verts))).material(Material.diffuse((0.5, 0.5, 0.5))))
+    sd = scene.compile()
+    assert sd.bvh8_packed is None
+    assert sd.bvh_packed is not None  # binary kernel takes over
