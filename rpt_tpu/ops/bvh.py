@@ -299,14 +299,33 @@ def bvh_closest_hit(bvh: BvhData, o: jnp.ndarray, d: jnp.ndarray, t_min, active=
 def finalize_hit(bvh: BvhData, o, d, t_min, t_best, best_tri) -> Hit:
     """Recompute barycentrics once for the winning triangle to get the
     smooth-interpolated normal (mesh.rs:77). Shared by the XLA and Pallas
-    traversals — both return only (t, triangle id) from the hot loop."""
-    tv = bvh.verts[best_tri]  # (N,3,3)
+    traversals — both return only (t, triangle id) from the hot loop.
+
+    The verts / norms / mat_id lookups ride ONE row gather of a packed
+    (T, 19) table: TPU row-gathers are row-count-bound (~5.5 ms per gather
+    at 518k rays regardless of row width, PERF_NOTES r5), so one wide
+    gather replaces three. The concat producing the packed table is
+    loop-invariant in every render dispatch, so XLA hoists it out of the
+    per-sample loop (mat_id rides as an f32 VALUE — exact, ids < 2^24 —
+    never a bitcast, which TPU denormal flushing would destroy)."""
+    T = bvh.verts.shape[0]
+    dt = bvh.verts.dtype
+    packed = jnp.concatenate(
+        [
+            bvh.verts.reshape(T, 9),
+            bvh.norms.reshape(T, 9),
+            bvh.mat_id.astype(dt)[:, None],
+        ],
+        axis=1,
+    )
+    g = packed[best_tri]  # (N, 19): the ONE gather
+    tv = g[:, 0:9].reshape(-1, 3, 3)
+    tn = g[:, 9:18].reshape(-1, 3, 3)
     t_fin, (u, v, w) = _tri_hit_t(o, d, tv[:, 0], tv[:, 1], tv[:, 2], t_min)
-    tn = bvh.norms[best_tri]
     n = normalize(u[:, None] * tn[:, 0] + v[:, None] * tn[:, 1] + w[:, None] * tn[:, 2])
     found = jnp.isfinite(t_best)
     return Hit(
         t=jnp.where(found, t_best, INF),
         normal=n,
-        mat_id=bvh.mat_id[best_tri],
+        mat_id=g[:, 18].astype(jnp.int32),
     )

@@ -700,15 +700,39 @@ def tlas_closest_hit_pallas(
         t_best = jnp.where(active, t_best, INF)
     best_tri = jnp.clip(best_tri, 0, packed.p_verts.shape[0] - 1)
 
-    # Finalize: ONE gather per ray for the winner's instance transform and
-    # triangle — barycentrics in local space, normal lifted by the
-    # inverse-transpose (shape.rs:130-137, mesh.rs:77).
-    A = im.inst_inv[best_inst]
+    # Finalize with TWO packed row gathers (instance table + triangle
+    # table) — barycentrics in local space, normal lifted by the
+    # inverse-transpose (shape.rs:130-137, mesh.rs:77). Row gathers are
+    # row-count-bound on TPU (PERF_NOTES r5), so the five narrow lookups
+    # pack into two wide ones; concats are loop-invariant per dispatch.
+    K = im.inst_inv.shape[0]
+    dt = o.dtype
+    inst_packed = jnp.concatenate(
+        [
+            im.inst_inv.reshape(K, 12).astype(dt),
+            im.inst_nmat.reshape(K, 9).astype(dt),
+            im.inst_mat.astype(dt)[:, None],
+        ],
+        axis=1,
+    )
+    gi = inst_packed[best_inst]  # (N, 22)
+    A = gi[:, 0:12].reshape(-1, 3, 4)
+    T8 = packed.p_verts.shape[0]
+    tri_packed = jnp.concatenate(
+        [
+            packed.p_verts.reshape(T8, 9).astype(dt),
+            packed.p_norms.reshape(T8, 9).astype(dt),
+        ],
+        axis=1,
+    )
+    gt = tri_packed[best_tri]  # (N, 18)
+    tv = gt[:, 0:9].reshape(-1, 3, 3)
+    tn = gt[:, 9:18].reshape(-1, 3, 3)
     o_l = jnp.einsum("nij,nj->ni", A[:, :, :3], o) + A[:, :, 3]
     d_l = jnp.einsum("nij,nj->ni", A[:, :, :3], d)
-    tv = packed.p_verts[best_tri]
     _, (u, v, w) = _tri_hit_t(o_l, d_l, tv[:, 0], tv[:, 1], tv[:, 2], t_min)
-    tn = packed.p_norms[best_tri]
     n_local = u[:, None] * tn[:, 0] + v[:, None] * tn[:, 1] + w[:, None] * tn[:, 2]
-    n_world = normalize(jnp.einsum("nij,nj->ni", im.inst_nmat[best_inst], n_local))
-    return Hit(t=t_best, normal=n_world, mat_id=im.inst_mat[best_inst])
+    n_world = normalize(
+        jnp.einsum("nij,nj->ni", gi[:, 12:21].reshape(-1, 3, 3), n_local)
+    )
+    return Hit(t=t_best, normal=n_world, mat_id=gi[:, 21].astype(jnp.int32))
