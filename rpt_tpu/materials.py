@@ -169,10 +169,13 @@ class MaterialTable:
             # jax indexing (the one-hot path degrades to zeros instead).
             # Unreachable today (mat_id is 0 on miss), guarded per ADVICE
             # r4 so a future bad id degrades to material 0, not material
-            # M-1.
+            # M-1. One packed (M, 8) gather instead of two — TPU row
+            # gathers are row-count-bound (PERF_NOTES r5); the concat is
+            # loop-invariant and hoisted per dispatch.
             ids = jnp.clip(ids, 0, color.shape[0] - 1)
-            c = color[ids]
-            s = scalars[ids]
+            packed = jnp.concatenate([color, scalars], axis=1)[ids]
+            c = packed[..., 0:3]
+            s = packed[..., 3:8]
         else:
             onehot = jax.nn.one_hot(ids, color.shape[0], dtype=color.dtype)
             c = onehot @ color  # (..., 3)
