@@ -184,6 +184,45 @@ def _emit_wide(out_nodes):
     return bounds, meta.reshape(-1)
 
 
+def _tlas_stack_need(out_nodes, inst_blas_root) -> int:
+    """Exact worst-case SMEM stack requirement for the two-level walk.
+
+    Popping a node pushes its hit internal + instance children; popping an
+    instance entry replaces itself with its wide-BLAS root (net stack
+    change 0), so an instance child contributes its BLAS root's need.
+    BLAS parts are shared across instances — memoized; the TLAS -> BLAS
+    graph is acyclic. The same bound caps the "dma" mode's ring (one VMEM
+    tile per stack slot). Checked invariant per ADVICE r4 (the STACK_CAP
+    comment alone guaranteed nothing)."""
+    memo: dict = {}
+
+    def need(w: int) -> int:
+        if w in memo:
+            return memo[w]
+        memo[w] = 0  # breaks accidental cycles defensively
+        targets = []
+        for (_, _, a, b) in out_nodes[w]:
+            if b == 0:
+                targets.append(a)
+            elif b == -2:
+                targets.append(inst_blas_root[a])
+        n_push = len(targets)
+        peak = n_push
+        for t in targets:
+            peak = max(peak, n_push - 1 + need(t))
+        memo[w] = peak
+        return peak
+
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 100_000))
+    try:
+        return max(1, 1 + need(0))
+    finally:
+        sys.setrecursionlimit(old)
+
+
 def tlas8_eligible(im: InstancedMeshes) -> bool:
     # Cheap pre-gate: the smallest-first collapse absorbs ~5-9 binary nodes
     # per wide node (measured 8.7 on the 192-mesh brick city); /5 is the
@@ -251,6 +290,16 @@ def pack_tlas8_for_pallas(im: InstancedMeshes) -> Tlas8Pack:
     bounds, meta = _emit_wide(out_nodes)
 
     K = np.asarray(im.inst_inv).shape[0]
+    inst_blas_root = [
+        wide_root_of[(int(inst_root[k]), int(inst_end[k]))] for k in range(K)
+    ]
+    if _tlas_stack_need(out_nodes, inst_blas_root) >= STACK_CAP:
+        warnings.warn(
+            "wide TLAS worst-case traversal stack exceeds STACK_CAP; "
+            "falling back to the binary two-level kernel",
+            stacklevel=2,
+        )
+        return None
     inst_f = np.asarray(im.inst_inv, np.float32).reshape(K * 12)
     inst_i = np.asarray(
         [wide_root_of[(int(inst_root[k]), int(inst_end[k]))] for k in range(K)],
