@@ -350,7 +350,17 @@ def _chunk_visit_plan(roots, rays, t_min, use_tmax: bool):
     last = jnp.take_along_axis(order, jnp.maximum(cnt - 1, 0)[:, None], axis=1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     visit = jnp.where(cols < cnt[:, None], order, last)
-    return visit.reshape(-1), cnt
+    # (G, 1, 128) + (G, 1, 1): the kernel streams ONE packet's row per
+    # grid step, so SMEM holds 128 entries, not G*C (a 4k-res megamesh's
+    # full table would bust the ~1 MB budget). The row is lane-padded to
+    # 128 (= MAX_CHUNKS) with repeats of the last live id because Mosaic
+    # requires SMEM block lanes to equal the array's minor dimension.
+    pad = 128 - C
+    if pad:
+        visit = jnp.concatenate(
+            [visit, jnp.broadcast_to(last, (visit.shape[0], pad))], axis=1
+        )
+    return visit[:, None, :], cnt[:, None, None]
 
 
 def _make_kernel8(occl: bool):
@@ -399,9 +409,7 @@ def _make_kernel8(occl: bool):
         o3 = (ox, oy, oz)
         d3 = (dx, dy, dz)
 
-        i = pl.program_id(0)
-        C = vi_ref.shape[0] // vc_ref.shape[0]
-        cnt = vc_ref[i]
+        cnt = vc_ref[0, 0, 0]
 
         # Packet direction octant (majority vote), ONE extract per packet:
         # child visit order within every walked chunk is near-to-far along
@@ -641,7 +649,7 @@ def _make_kernel8(occl: bool):
         # ---- outer loop over the packet's visit list -----------------------
         @pl.when(cnt > 0)
         def _():
-            start_copies(vi_ref[i * C], 0)
+            start_copies(vi_ref[0, 0, 0], 0)
 
         if occl:
             acc0 = (jnp.zeros((SUBS, LANES), jnp.float32), jnp.bool_(True))
@@ -655,7 +663,7 @@ def _make_kernel8(occl: bool):
         def outer_body(st):
             s, pend, acc = st
             buf = s & 1
-            cid = vi_ref[i * C + s]
+            cid = vi_ref[0, 0, s]
 
             # Prefetch slot s+1, skipping its COPY when the running bound
             # already prunes its root (t_best tightens monotonically, so a
@@ -670,7 +678,7 @@ def _make_kernel8(occl: bool):
                 pf_gate = s + 1 < cnt
 
             def pf(_):
-                cid1 = vi_ref[i * C + s + 1]
+                cid1 = vi_ref[0, 0, s + 1]
                 h = root_enter(cid1, upper, activ)
 
                 @pl.when(h)
@@ -713,8 +721,12 @@ _KERNEL8_OCCL = _make_kernel8(occl=True)
 
 def _specs8(Mc, SUBS, n_out):
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # visit (G*C,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # cnt (G,)
+        pl.BlockSpec(
+            (1, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+        ),  # this packet's visit row (lane-padded to 128 = MAX_CHUNKS)
+        pl.BlockSpec(
+            (1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+        ),  # this packet's live-chunk count
         pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk-root AABBs (C*8,)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # t_min (1,)
         pl.BlockSpec(
