@@ -342,9 +342,11 @@ def _chunk_visit_plan(roots, rays, t_min, use_tmax: bool):
     ok = (lo <= hi) & (hi >= t_min) & act[:, None]
     if use_tmax:
         ok = ok & (lo <= rays[:, 7][:, None])
-    hit = jnp.any(ok, axis=(2, 3))  # (G, C)
-    entry = jnp.min(jnp.where(ok, lo, jnp.inf), axis=(2, 3))
-    key = jnp.where(hit, entry, jnp.inf)
+    # ONE masked min-reduce instead of any() + min(): hit iff some lane's
+    # masked entry is finite (the same i1-reduce cost lesson as the
+    # analytic any-hit, PERF_NOTES r5).
+    key = jnp.min(jnp.where(ok, lo, jnp.inf), axis=(2, 3))  # (G, C)
+    hit = jnp.isfinite(key)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)  # (G, C), misses last
     cnt = jnp.sum(hit, axis=1).astype(jnp.int32)
     last = jnp.take_along_axis(order, jnp.maximum(cnt - 1, 0)[:, None], axis=1)
